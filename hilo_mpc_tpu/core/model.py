@@ -1,0 +1,717 @@
+"""Dynamic model: declaration, integration, simulation, linearization.
+
+TPU-native replacement for the reference's ``Model`` (reference:
+hilo_mpc/modules/dynamic_model/dynamic_model.py:49-4369). Instead of building CasADi
+symbolic expressions and compiling them through C, a model's equations are pure JAX
+functions ``f(x, z, u, p, t)``; ``setup`` composes them with a fixed-step integrator
+(ERK/collocation/discrete, core/integrators.py) into one jitted step function, and
+``simulate`` rolls it out with ``lax.scan`` (time) and ``vmap`` (batch) — the analogue of
+the reference's ``Function.mapaccum`` path (dynamic_model.py:4198) without leaving the
+device.
+"""
+from __future__ import annotations
+
+import copy as _copy
+import inspect
+from typing import Callable, Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .integrators import IntegratorSpec, make_step
+from .series import TimeSeries
+from .variables import VarSpec, _as_name_list
+
+Array = jnp.ndarray
+
+_CANONICAL_ARGS = ("x", "z", "u", "p", "t")
+
+
+def wrap_rhs(fn: Callable, what: str = "rhs") -> Callable:
+    """Adapt a user function with any subset of (x, z, u, p, t) parameters (by name or
+    positionally in canonical order) to the canonical signature f(x, z, u, p, t)."""
+    try:
+        sig = inspect.signature(fn)
+        params = [p.name for p in sig.parameters.values()
+                  if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY)]
+    except (TypeError, ValueError):
+        params = list(_CANONICAL_ARGS)
+    if all(p in _CANONICAL_ARGS for p in params):
+        picks = params
+    else:
+        # unknown names: bind positionally in canonical order
+        picks = list(_CANONICAL_ARGS[: len(params)])
+
+    def canonical(x, z, u, p, t):
+        env = {"x": x, "z": z, "u": u, "p": p, "t": t}
+        out = fn(*[env[name] for name in picks])
+        return jnp.atleast_1d(jnp.asarray(out))
+
+    canonical.__name__ = f"canonical_{what}"
+    return canonical
+
+
+class Model:
+    """Dynamic ODE/DAE/discrete model with measurements and quadratures."""
+
+    def __init__(self, name: Optional[str] = None, discrete: bool = False,
+                 solver: Optional[str] = None, time_unit: str = "h",
+                 plot_backend: Optional[str] = None, dtype=jnp.float32):
+        self.name = name or "model"
+        self._discrete = bool(discrete)
+        self._solver = solver
+        self._time_unit = time_unit
+        self._plot_backend = plot_backend
+        self._dtype = dtype
+
+        self._x = VarSpec()   # differential states
+        self._z = VarSpec()   # algebraic states
+        self._u = VarSpec()   # inputs
+        self._p = VarSpec()   # parameters
+        self._y = VarSpec()   # measurements
+        self._q = VarSpec()   # quadrature states
+
+        self._ode: Optional[Callable] = None
+        self._alg: Optional[Callable] = None
+        self._meas: Optional[Callable] = None
+        self._quad: Optional[Callable] = None
+        self._equations_src: Optional[str] = None
+
+        # linear state-space matrices if declared that way
+        self._ss: Dict[str, Optional[np.ndarray]] = {k: None for k in "ABCDM"}
+
+        self._dt: Optional[float] = None
+        self._int_spec: Optional[IntegratorSpec] = None
+        self._step = None          # step(x, z, u, p, t, dt) -> (x+, z+, y+, q+)
+        self._step_jit = None
+        self._rollout_jit = None
+        self._rollout_batched_jit = None
+        self._setup_done = False
+
+        self._x0: Optional[np.ndarray] = None
+        self._z0: Optional[np.ndarray] = None
+        self._p0: Optional[np.ndarray] = None
+        self._time = 0.0
+        self.solution: Optional[TimeSeries] = None
+
+    # -- dimensions ---------------------------------------------------------
+    @property
+    def n_x(self) -> int: return self._x.n
+    @property
+    def n_z(self) -> int: return self._z.n
+    @property
+    def n_u(self) -> int: return self._u.n
+    @property
+    def n_p(self) -> int: return self._p.n
+    @property
+    def n_q(self) -> int: return self._q.n
+
+    @property
+    def n_y(self) -> int:
+        return self._y.n if self._y.n else self._x.n
+
+    @property
+    def dynamical_states(self): return list(self._x.names)
+    @property
+    def algebraic_states(self): return list(self._z.names)
+    @property
+    def inputs(self): return list(self._u.names)
+    @property
+    def parameters(self): return list(self._p.names)
+    @property
+    def measurements(self):
+        return list(self._y.names) if self._y.n else list(self._x.names)
+
+    @property
+    def discrete(self) -> bool: return self._discrete
+    @property
+    def continuous(self) -> bool: return not self._discrete
+    @property
+    def dt(self) -> Optional[float]: return self._dt
+    @property
+    def time_unit(self) -> str: return self._time_unit
+    @property
+    def dtype(self): return self._dtype
+
+    # -- declaration --------------------------------------------------------
+    def set_dynamical_states(self, names, **meta):
+        self._x = VarSpec()
+        self._x.add(names, prefix="x")
+        return self
+
+    def set_algebraic_states(self, names, **meta):
+        self._z = VarSpec()
+        self._z.add(names, prefix="z")
+        return self
+
+    def set_inputs(self, names, **meta):
+        self._u = VarSpec()
+        self._u.add(names, prefix="u")
+        return self
+
+    def set_parameters(self, names, **meta):
+        self._p = VarSpec()
+        self._p.add(names, prefix="p")
+        return self
+
+    def set_measurements(self, names, **meta):
+        self._y = VarSpec()
+        self._y.add(names, prefix="y")
+        return self
+
+    def set_dynamical_equations(self, fn: Union[Callable, str, Sequence[str]]):
+        if isinstance(fn, (str, list, tuple)):
+            return self.set_equations(ode=fn)
+        self._ode = wrap_rhs(fn, "ode")
+        return self
+
+    def set_algebraic_equations(self, fn: Callable):
+        self._alg = wrap_rhs(fn, "alg")
+        return self
+
+    def set_measurement_equations(self, fn: Union[Callable, str, Sequence[str]]):
+        if isinstance(fn, (str, list, tuple)):
+            return self.set_equations(meas=fn)
+        self._meas = wrap_rhs(fn, "meas")
+        return self
+
+    def set_quadrature_functions(self, fn: Callable):
+        self._quad = wrap_rhs(fn, "quad")
+        if self._q.n == 0:
+            self._q.add(1, prefix="q")
+        return self
+
+    def set_equations(self, equations=None, ode=None, alg=None, meas=None, quad=None):
+        """Set equations from callables, a dict of callables, or the equation-string DSL
+        (reference DSL semantics: hilo_mpc/util/parsing.py:246)."""
+        if isinstance(equations, dict):
+            ode = equations.get("ode", ode)
+            alg = equations.get("alg", alg)
+            meas = equations.get("meas", meas)
+            quad = equations.get("quad", quad)
+            equations = None
+        if equations is not None:
+            if callable(equations):
+                self._ode = wrap_rhs(equations, "ode")
+                return self
+            from ..utils.parsing import apply_parsed_equations
+            apply_parsed_equations(self, equations)
+            self._equations_src = equations  # DSL text enables pickling
+            return self
+        if ode is not None:
+            if isinstance(ode, (str, list, tuple)):
+                from ..utils.parsing import apply_parsed_equations
+                text = ode if isinstance(ode, str) else "\n".join(ode)
+                apply_parsed_equations(self, text)
+            else:
+                self._ode = wrap_rhs(ode, "ode")
+        if alg is not None:
+            self._alg = wrap_rhs(alg, "alg")
+        if meas is not None:
+            if isinstance(meas, (str, list, tuple)):
+                from ..utils.parsing import apply_parsed_equations
+                text = meas if isinstance(meas, str) else "\n".join(meas)
+                apply_parsed_equations(self, text)
+            else:
+                self._meas = wrap_rhs(meas, "meas")
+        if quad is not None:
+            self.set_quadrature_functions(quad)
+        return self
+
+    # -- linear state-space declaration --------------------------------------
+    def set_state_space(self, A=None, B=None, C=None, D=None, M=None):
+        """Declare a (possibly time-discrete) linear model x' = Ax + Bu, y = Cx + Du
+        (reference: dynamic_model.py:371 _unpack_state_space)."""
+        for key, val in zip("ABCDM", (A, B, C, D, M)):
+            if val is not None:
+                self._ss[key] = np.atleast_2d(np.asarray(val, dtype=float))
+        A_ = self._ss["A"]
+        if A_ is not None and self._x.n == 0:
+            self._x.add(A_.shape[0], prefix="x")
+        B_ = self._ss["B"]
+        if B_ is not None and self._u.n == 0:
+            self._u.add(B_.shape[1], prefix="u")
+        C_ = self._ss["C"]
+        if C_ is not None and self._y.n == 0:
+            self._y.add(C_.shape[0], prefix="y")
+
+        nx, nu = self._x.n, self._u.n
+
+        def ode(x, z, u, p, t):
+            out = jnp.zeros(nx, dtype=x.dtype)
+            if self._ss["A"] is not None:
+                out = out + jnp.asarray(self._ss["A"], x.dtype) @ x
+            if self._ss["B"] is not None and nu:
+                out = out + jnp.asarray(self._ss["B"], x.dtype) @ u
+            return out
+
+        self._ode = ode
+        if C_ is not None or self._ss["D"] is not None:
+            def meas(x, z, u, p, t):
+                out = jnp.zeros(self._y.n, dtype=x.dtype)
+                if self._ss["C"] is not None:
+                    out = out + jnp.asarray(self._ss["C"], x.dtype) @ x
+                if self._ss["D"] is not None and nu:
+                    out = out + jnp.asarray(self._ss["D"], x.dtype) @ u
+                return out
+            self._meas = meas
+        return self
+
+    @property
+    def A(self):
+        return None if self._ss["A"] is None else np.array(self._ss["A"])
+
+    @A.setter
+    def A(self, val):
+        self.set_state_space(A=val)
+
+    @property
+    def B(self):
+        return None if self._ss["B"] is None else np.array(self._ss["B"])
+
+    @B.setter
+    def B(self, val):
+        self.set_state_space(B=val)
+
+    @property
+    def C(self):
+        return None if self._ss["C"] is None else np.array(self._ss["C"])
+
+    @C.setter
+    def C(self, val):
+        self.set_state_space(C=val)
+
+    @property
+    def D(self):
+        return None if self._ss["D"] is None else np.array(self._ss["D"])
+
+    @D.setter
+    def D(self, val):
+        self.set_state_space(D=val)
+
+    # -- canonical function access ------------------------------------------
+    def ode_fn(self) -> Callable:
+        if self._ode is None:
+            raise RuntimeError("no dynamical equations set")
+        return self._ode
+
+    def alg_fn(self) -> Optional[Callable]:
+        return self._alg
+
+    def meas_fn(self) -> Callable:
+        """Measurement function; defaults to full state observation."""
+        if self._meas is not None:
+            return self._meas
+        return lambda x, z, u, p, t: x
+
+    def quad_fn(self) -> Optional[Callable]:
+        return self._quad
+
+    # -- structural analysis --------------------------------------------------
+    def _probe_args(self, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        mk = lambda n: jnp.asarray(rng.normal(size=n) * 0.37 + 0.21, dtype=jnp.float64
+                                   if jax.config.jax_enable_x64 else jnp.float32)
+        return mk(self.n_x), mk(self.n_z), mk(self.n_u), mk(max(self.n_p, 0)), 0.13
+
+    @property
+    def is_linear(self) -> bool:
+        """Probabilistic affinity check in (x, u) (reference does symbolic detection,
+        dynamic_model.py:214; random-probe superposition is the tracing analogue)."""
+        if self._ode is None:
+            return False
+        if self._ss["A"] is not None:
+            return True
+        try:
+            x1, z, u1, p, t = self._probe_args(1)
+            x2, _, u2, _, _ = self._probe_args(2)
+            f = lambda x, u: self.ode_fn()(x, z, u, p, t)
+            a = 0.731
+            lhs = f(a * x1 + (1 - a) * x2, a * u1 + (1 - a) * u2)
+            rhs = a * f(x1, u1) + (1 - a) * f(x2, u2)
+            return bool(np.allclose(np.asarray(lhs), np.asarray(rhs), rtol=1e-4, atol=1e-6))
+        except Exception:
+            return False
+
+    @property
+    def is_time_variant(self) -> bool:
+        if self._ode is None:
+            return False
+        try:
+            x, z, u, p, _ = self._probe_args(3)
+            f1 = self.ode_fn()(x, z, u, p, 0.17)
+            f2 = self.ode_fn()(x, z, u, p, 2.93)
+            return not bool(np.allclose(np.asarray(f1), np.asarray(f2), rtol=1e-6, atol=1e-8))
+        except Exception:
+            return False
+
+    # -- setup ----------------------------------------------------------------
+    def setup(self, dt: float = 1.0, integration_method: Optional[str] = None,
+              degree: int = 3, scheme: str = "radau", substeps: int = 1,
+              newton_iters: int = 8, options: Optional[dict] = None):
+        """Compile the per-step transition function.
+
+        ``integration_method``: one of the ERK names ('euler','rk4',...), 'collocation',
+        'cvodes'/'idas' (mapped to Radau collocation), or 'discrete'.
+        """
+        if self._ode is None:
+            raise RuntimeError(f"model {self.name!r}: no equations set before setup()")
+        options = options or {}
+        if integration_method is None:
+            integration_method = "discrete" if self._discrete else (
+                "collocation" if self.n_z else "rk4")
+        if self._discrete:
+            integration_method = "discrete"
+        if self.n_z and integration_method not in ("collocation", "irk", "discrete",
+                                                   "cvodes", "idas"):
+            # explicit methods still work: algebraic states solved per stage by Newton
+            pass
+        self._int_spec = IntegratorSpec(
+            method=integration_method, degree=degree, scheme=scheme,
+            substeps=substeps, newton_iters=newton_iters)
+        self._dt = float(dt)
+
+        ode, alg = self._ode, self._alg
+        quad = self._quad
+        nq = self._q.n if quad is not None else 0
+        if quad is not None and not self._discrete:
+            # integrate quadratures as augmented states: d[q]/dt = integrand
+            nx = self.n_x
+
+            def ode_aug(xa, z, u, p, t):
+                x = xa[:nx]
+                dx = ode(x, z, u, p, t)
+                dq = jnp.atleast_1d(quad(x, z, u, p, t)).astype(x.dtype)
+                return jnp.concatenate([dx, dq])
+
+            alg_aug = (lambda xa, z, u, p, t: alg(xa[:nx], z, u, p, t)) if alg else None
+            core = make_step(ode_aug, alg_aug, self.n_x + nq, self.n_z, self._int_spec)
+
+            def step(x, z, u, p, t, dt):
+                xa = jnp.concatenate([x, jnp.zeros(nq, dtype=x.dtype)])
+                xa_n, z_n = core(xa, z, u, p, t, dt)
+                x_n, q_n = xa_n[:nx].astype(x.dtype), xa_n[nx:].astype(x.dtype)
+                y_n = self.meas_fn()(x_n, z_n, u, p, t + dt)
+                return x_n, z_n, jnp.atleast_1d(y_n).astype(x.dtype), q_n
+        else:
+            core = make_step(ode, alg, self.n_x, self.n_z, self._int_spec)
+
+            def step(x, z, u, p, t, dt):
+                x_n, z_n = core(x, z, u, p, t, dt)
+                x_n = x_n.astype(x.dtype)
+                y_n = self.meas_fn()(x_n, z_n, u, p, t + dt)
+                q_n = (jnp.atleast_1d(quad(x_n, z_n, u, p, t + dt)).astype(x.dtype)
+                       if (quad is not None and self._discrete) else
+                       jnp.zeros(nq, dtype=x.dtype))
+                return x_n, z_n, jnp.atleast_1d(y_n).astype(x.dtype), q_n
+
+        self._step = step
+        self._step_jit = jax.jit(step)
+        self._rollout_jit = None
+        self._rollout_batched_jit = None
+        self.solution = TimeSeries(self._time_unit)
+        self.solution.register("x", self._x.names)
+        self.solution.register("z", self._z.names)
+        self.solution.register("u", self._u.names)
+        self.solution.register("y", self.measurements)
+        self.solution.register("p", self._p.names)
+        self._time = 0.0
+        self._setup_done = True
+        return self
+
+    def is_setup(self) -> bool:
+        return self._setup_done
+
+    @property
+    def step_fn(self) -> Callable:
+        """step(x, z, u, p, t, dt) -> (x_next, z_next, y_next, q_next), jitted."""
+        if not self._setup_done:
+            raise RuntimeError("call setup() first")
+        return self._step_jit
+
+    @property
+    def step_fn_raw(self) -> Callable:
+        if not self._setup_done:
+            raise RuntimeError("call setup() first")
+        return self._step
+
+    # -- initial conditions ---------------------------------------------------
+    def set_initial_conditions(self, x0, z0=None):
+        self._x0 = np.atleast_1d(np.asarray(x0, dtype=float)).ravel()
+        if self._x0.size != self.n_x:
+            raise ValueError(f"x0 has {self._x0.size} entries, expected {self.n_x}")
+        if z0 is not None:
+            self._z0 = np.atleast_1d(np.asarray(z0, dtype=float)).ravel()
+        if self.solution is not None and self.solution.n_samples == 0:
+            z0v = self._z0 if self._z0 is not None else np.zeros(self.n_z)
+            y0 = np.asarray(self.meas_fn()(
+                jnp.asarray(self._x0, self._dtype), jnp.asarray(z0v, self._dtype),
+                jnp.zeros(self.n_u, self._dtype),
+                jnp.asarray(self._p0 if self._p0 is not None else np.zeros(self.n_p),
+                            self._dtype), 0.0))
+            self.solution.append(0.0, x=self._x0, z=z0v, y=y0)
+        return self
+
+    def set_initial_parameter_values(self, p):
+        self._p0 = np.atleast_1d(np.asarray(p, dtype=float)).ravel()
+        if self._p0.size != self.n_p:
+            raise ValueError(f"p has {self._p0.size} entries, expected {self.n_p}")
+        return self
+
+    def reset_solution(self):
+        if self.solution is not None:
+            self.solution.reset()
+        self._time = 0.0
+        if self._x0 is not None:
+            self.set_initial_conditions(self._x0, self._z0)
+        return self
+
+    # -- simulation -----------------------------------------------------------
+    def _coerce_u(self, u, steps: int) -> np.ndarray:
+        if u is None:
+            return np.zeros((steps, self.n_u))
+        u = np.asarray(u, dtype=float)
+        if u.ndim == 0:
+            u = u.reshape(1, 1)
+        if u.ndim == 1:
+            if u.size == self.n_u:
+                u = np.tile(u.reshape(1, -1), (steps, 1))
+            elif self.n_u == 1:
+                u = u.reshape(-1, 1)
+        if u.shape == (self.n_u, steps) and self.n_u != steps:
+            u = u.T
+        if u.shape != (steps, self.n_u):
+            raise ValueError(f"u has shape {u.shape}, expected {(steps, self.n_u)}")
+        return u
+
+    def _coerce_p(self, p, steps: int) -> np.ndarray:
+        if p is None:
+            if self._p0 is not None:
+                p = self._p0
+            elif self.n_p == 0:
+                p = np.zeros(0)
+            else:
+                raise ValueError("model has parameters; pass p= or "
+                                 "set_initial_parameter_values")
+        p = np.asarray(p, dtype=float)
+        if p.ndim <= 1:
+            p = np.tile(np.atleast_1d(p).reshape(1, -1), (steps, 1))
+        if p.shape == (self.n_p, steps) and self.n_p != steps:
+            p = p.T
+        if p.shape != (steps, self.n_p):
+            raise ValueError(f"p has shape {p.shape}, expected {(steps, self.n_p)}")
+        return p
+
+    def rollout_fn(self) -> Callable:
+        """Pure rollout: (x0, z0, U, P, t0) -> dict of stacked trajectories, where
+        U: (steps, n_u), P: (steps, n_p). Scan over time; vmap-friendly."""
+        step = self.step_fn_raw
+        dt = self._dt
+
+        def rollout(x0, z0, U, P, t0=0.0):
+            def body(carry, inp):
+                x, z, t = carry
+                u, p = inp
+                x_n, z_n, y_n, q_n = step(x, z, u, p, t, dt)
+                return (x_n, z_n, t + dt), (x_n, z_n, y_n, q_n)
+
+            (_, _, _), (X, Z, Y, Q) = jax.lax.scan(
+                body, (x0, z0, jnp.asarray(t0, x0.dtype)), (U, P))
+            return {"x": X, "z": Z, "y": Y, "q": Q}
+
+        return rollout
+
+    def simulate(self, x0=None, z0=None, u=None, p=None, steps: Optional[int] = None,
+                 t0: Optional[float] = None, store: bool = True):
+        """Simulate ``steps`` steps (default: as many as rows of u).
+
+        Unbatched: appends to ``self.solution``. Batched (x0 with a leading batch dim):
+        vmapped rollout, nothing stored, returns trajectory dict with leading batch axis.
+        """
+        if not self._setup_done:
+            raise RuntimeError("call setup() first")
+        if steps is None:
+            if u is not None:
+                u_arr = np.asarray(u, dtype=float)
+                if u_arr.ndim == 2:
+                    steps = u_arr.shape[0] if u_arr.shape[1] == self.n_u else u_arr.shape[1]
+                elif u_arr.ndim == 1 and self.n_u == 1:
+                    steps = u_arr.size
+                else:
+                    steps = 1
+            else:
+                steps = 1
+
+        batched = x0 is not None and np.asarray(x0).ndim > 1
+        if x0 is None:
+            if self.solution is not None and self.solution.n_samples:
+                x0 = self.solution["x:f"]
+            elif self._x0 is not None:
+                x0 = self._x0
+            else:
+                raise ValueError("no x0 given and no stored initial conditions")
+        x0 = np.asarray(x0, dtype=float)
+        if z0 is None:
+            z0 = (self.solution["z:f"] if (self.solution is not None and
+                                           self.solution.n_samples and self.n_z)
+                  else np.zeros(self.n_z))
+            z0 = np.nan_to_num(np.asarray(z0, dtype=float))
+            if batched:
+                z0 = np.tile(z0, (x0.shape[0], 1))
+        U = self._coerce_u(u, steps)
+        P = self._coerce_p(p, steps)
+        t_start = self._time if t0 is None else float(t0)
+
+        dtype = self._dtype
+        if batched:
+            if self._rollout_batched_jit is None:
+                self._rollout_batched_jit = jax.jit(
+                    jax.vmap(self.rollout_fn(), in_axes=(0, 0, None, None, None)))
+            out = self._rollout_batched_jit(
+                jnp.asarray(x0, dtype), jnp.asarray(z0, dtype),
+                jnp.asarray(U, dtype), jnp.asarray(P, dtype), t_start)
+            return {k: np.asarray(v) for k, v in out.items()}
+
+        if self._rollout_jit is None:
+            self._rollout_jit = jax.jit(self.rollout_fn())
+        fn = self._rollout_jit
+        out = fn(jnp.asarray(x0, dtype), jnp.asarray(np.atleast_1d(z0), dtype),
+                 jnp.asarray(U, dtype), jnp.asarray(P, dtype), t_start)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if store and self.solution is not None:
+            ts = t_start + self._dt * np.arange(1, steps + 1)
+            self.solution.append(ts, x=out["x"].T, z=out["z"].T if self.n_z else None,
+                                 u=U.T, y=out["y"].T,
+                                 p=P.T if self.n_p else None)
+            self._time = float(ts[-1])
+        return out
+
+    # -- linearization --------------------------------------------------------
+    def linearize(self, x_eq=None, u_eq=None, z_eq=None, p=None, t: float = 0.0):
+        """Jacobian linearization about an equilibrium (reference:
+        dynamic_model.py:2488 — returns a linear model in Δ-coordinates)."""
+        nx, nu, nz = self.n_x, self.n_u, self.n_z
+        dt64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        x_eq = jnp.zeros(nx, dt64) if x_eq is None else jnp.asarray(x_eq, dt64)
+        u_eq = jnp.zeros(nu, dt64) if u_eq is None else jnp.asarray(u_eq, dt64)
+        z_eq = jnp.zeros(nz, dt64) if z_eq is None else jnp.asarray(z_eq, dt64)
+        p_v = (jnp.asarray(self._p0, dt64) if (p is None and self._p0 is not None)
+               else jnp.asarray(p if p is not None else np.zeros(self.n_p), dt64))
+        f = self.ode_fn()
+        h = self.meas_fn()
+        A = np.asarray(jax.jacfwd(lambda x: f(x, z_eq, u_eq, p_v, t))(x_eq))
+        B = np.asarray(jax.jacfwd(lambda u: f(x_eq, z_eq, u, p_v, t))(u_eq))
+        C = np.asarray(jax.jacfwd(lambda x: h(x, z_eq, u_eq, p_v, t))(x_eq))
+        D = np.asarray(jax.jacfwd(lambda u: h(x_eq, z_eq, u, p_v, t))(u_eq))
+        lin = Model(name=f"{self.name}_linearized", discrete=self._discrete,
+                    time_unit=self._time_unit, dtype=self._dtype)
+        lin.set_dynamical_states([f"d{n}" for n in self._x.names])
+        if nu:
+            lin.set_inputs([f"d{n}" for n in self._u.names])
+        lin.set_measurements([f"d{n}" for n in self.measurements])
+        lin.set_state_space(A=A, B=B if nu else None, C=C, D=D if nu else None)
+        lin._equilibrium = {"x": np.asarray(x_eq), "u": np.asarray(u_eq),
+                            "p": np.asarray(p_v)}
+        return lin
+
+    def jacobians(self, x, u, z=None, p=None, t: float = 0.0):
+        """(A, B) continuous- or discrete-time Jacobians of the RHS at a point."""
+        z = jnp.zeros(self.n_z, self._dtype) if z is None else jnp.asarray(z, self._dtype)
+        p = (jnp.asarray(self._p0, self._dtype) if (p is None and self._p0 is not None)
+             else jnp.asarray(p if p is not None else np.zeros(self.n_p), self._dtype))
+        f = self.ode_fn()
+        x = jnp.asarray(x, self._dtype)
+        u = jnp.asarray(u, self._dtype)
+        A = jax.jacfwd(lambda xx: f(xx, z, u, p, t))(x)
+        B = jax.jacfwd(lambda uu: f(x, z, uu, p, t))(u)
+        return A, B
+
+    # -- discretization -------------------------------------------------------
+    def discretize(self, method: str = "rk4", degree: int = 3, substeps: int = 1,
+                   dt: Optional[float] = None):
+        """Return a discrete-time model whose difference equation is one integrator step
+        of this model (reference: dynamic_model.py:2113-2456)."""
+        if self._discrete:
+            raise RuntimeError("model is already discrete")
+        spec = IntegratorSpec(method=method, degree=degree, substeps=substeps)
+        core = make_step(self.ode_fn(), self._alg, self.n_x, self.n_z, spec)
+        disc = self.copy(keep_solution=False)
+        disc._discrete = True
+        dt_fixed = dt
+
+        nx = self.n_x
+
+        def disc_map(x, z, u, p, t):
+            h = dt_fixed if dt_fixed is not None else (disc._dt or 1.0)
+            x_n, _ = core(x, z, u, p, t, h)
+            return x_n
+
+        disc._ode = disc_map
+        disc._setup_done = False
+        disc._step = disc._step_jit = None
+        return disc
+
+    # -- data generation ------------------------------------------------------
+    def generate_data(self, kind: str = "random_uniform", steps: int = 100, **kwargs):
+        from ..utils.data import DataGenerator
+        gen = DataGenerator(self, steps=steps, **kwargs)
+        getattr(gen, kind)(**{k: v for k, v in kwargs.items()
+                              if k in ("lb", "ub", "mean", "std", "seed")})
+        gen.run()
+        return gen.data
+
+    # -- composition with learned components ---------------------------------
+    def __add__(self, other):
+        from ..ml.hybrid import hybridize
+        return hybridize(self, other)
+
+    # -- misc -----------------------------------------------------------------
+    def copy(self, name: Optional[str] = None, keep_solution: bool = False) -> "Model":
+        new = _copy.copy(self)
+        new.name = name or self.name
+        new._x = self._x.copy(); new._z = self._z.copy(); new._u = self._u.copy()
+        new._p = self._p.copy(); new._y = self._y.copy(); new._q = self._q.copy()
+        new._ss = {k: (None if v is None else np.array(v)) for k, v in self._ss.items()}
+        new.solution = (self.solution.copy() if (keep_solution and self.solution)
+                        else None)
+        if not keep_solution:
+            new._setup_done = False
+            new._step = new._step_jit = None
+            new._rollout_jit = new._rollout_batched_jit = None
+        return new
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        # compiled artifacts are rebuilt by setup() after unpickling
+        state["_step"] = None
+        state["_step_jit"] = None
+        state["_rollout_jit"] = None
+        state["_rollout_batched_jit"] = None
+        state["_setup_done"] = False
+        if state.get("_equations_src") is not None:
+            # DSL models re-parse on load; closure-based equations must pickle
+            # themselves (lambdas won't — mirror of the reference's __getstate__
+            # contract, dynamic_model.py:139-158)
+            for key in ("_ode", "_alg", "_meas", "_quad"):
+                state[key] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if getattr(self, "_equations_src", None) is not None and self._ode is None:
+            from ..utils.parsing import apply_parsed_equations
+            x, z, u, p = (list(self._x.names), list(self._z.names),
+                          list(self._u.names), list(self._p.names))
+            apply_parsed_equations(self, self._equations_src)
+            self._x.names, self._z.names = x, z
+            self._u.names, self._p.names = u, p
+
+    def __repr__(self):
+        return (f"Model({self.name!r}, nx={self.n_x}, nz={self.n_z}, nu={self.n_u}, "
+                f"np={self.n_p}, ny={self.n_y}, "
+                f"{'discrete' if self._discrete else 'continuous'})")
+
+    def __iter__(self):
+        yield from {"x": self._x.names, "z": self._z.names, "u": self._u.names,
+                    "p": self._p.names, "y": self.measurements}.items()

@@ -1,0 +1,495 @@
+"""Stagewise nonlinear primal-dual interior-point solver for optimal control.
+
+TPU-native replacement for IPOPT as used by the reference's NMPC/MHE/OCP solves
+(reference: hilo_mpc/modules/controller/mpc.py:1778-1787, modules/estimator/mhe.py). The
+NLP never materializes as a flat sparse matrix: the multiple-shooting structure is kept
+stagewise, each IP iteration linearizes dynamics/costs/constraints per stage (vmapped over
+the horizon), condenses the barrier terms into the stage Hessians, and factorizes the
+block-banded KKT system with a Riccati sweep (ops/riccati.py). Iteration counts are fixed
+with per-scenario convergence masks, so the whole solve jits and `vmap`s over thousands of
+scenarios — the batched analogue of the reference's one-problem-at-a-time IPOPT calls.
+
+Algorithmic skeleton (monotone Fiacco-McCormick barrier updates, fraction-to-boundary
+rule, slack reset, l1-merit backtracking) follows the standard interior-point literature
+that IPOPT implements, so converged solutions match the reference's to solver tolerance.
+
+Problem form (single scenario; batch via vmap):
+
+    min   Σ_{k=0}^{N-1} l(x_k, u_k, θ_k)  +  lN(x_N, θ_N)
+    s.t.  x_{k+1} = F(x_k, u_k, θ_k)                    k = 0..N-1
+          lbu ≤ u_k ≤ ubu,  lbx ≤ x_k ≤ ubx             (±inf allowed)
+          h(x_k, u_k, θ_k) ≤ 0,   hN(x_N, θ_N) ≤ 0
+          x_0 = x̂  (fix_x0=True)  or  x_0 free (MHE arrival)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .riccati import backward_sweep, solve_lq
+
+
+class OCPFunctions(NamedTuple):
+    dyn: Callable                    # F(x, u, theta) -> (nx,)
+    stage_cost: Callable             # l(x, u, theta) -> scalar
+    term_cost: Callable              # lN(x, thetaN) -> scalar
+    stage_ineq: Optional[Callable] = None   # h(x, u, theta) -> (n_h,)
+    term_ineq: Optional[Callable] = None    # hN(x, thetaN) -> (n_hN,)
+
+
+@dataclasses.dataclass(frozen=True)
+class OCPDims:
+    nx: int
+    nu: int
+    N: int
+    n_h: int = 0
+    n_hN: int = 0
+
+
+class OCPBounds(NamedTuple):
+    """±inf-padded box bounds. Shapes: lbx/ubx (N+1, nx), lbu/ubu (N, nu)."""
+    lbx: jnp.ndarray
+    ubx: jnp.ndarray
+    lbu: jnp.ndarray
+    ubu: jnp.ndarray
+
+
+def default_bounds(dims: OCPDims, dtype=jnp.float32) -> OCPBounds:
+    inf = jnp.asarray(jnp.inf, dtype)
+    return OCPBounds(
+        lbx=-inf * jnp.ones((dims.N + 1, dims.nx), dtype),
+        ubx=inf * jnp.ones((dims.N + 1, dims.nx), dtype),
+        lbu=-inf * jnp.ones((dims.N, dims.nu), dtype),
+        ubu=inf * jnp.ones((dims.N, dims.nu), dtype),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class IPOptions:
+    max_iter: int = 40
+    tol: float = 1e-6
+    mu_init: float = 1e-1
+    mu_min: float = 1e-9
+    kappa_mu: float = 0.2        # linear mu reduction factor
+    theta_mu: float = 1.5        # superlinear mu reduction exponent
+    kappa_eps: float = 10.0      # barrier-subproblem tolerance = kappa_eps * mu
+    tau_min: float = 0.99        # fraction-to-boundary
+    n_linesearch: int = 10       # backtracking candidates (halvings)
+    reg: float = 1e-8            # Riccati control-Schur regularization
+    convexify: bool = True       # eigenvalue-clip indefinite cost Hessians
+    min_eig: float = 1e-6
+    s_min: float = 1e-6          # slack floor at init
+    early_exit: bool = True      # while_loop with convergence predicate
+
+
+class OCPSolution(NamedTuple):
+    X: jnp.ndarray          # (N+1, nx)
+    U: jnp.ndarray          # (N, nu)
+    lam: jnp.ndarray        # (N, nx)
+    s: jnp.ndarray          # (N, m)
+    z: jnp.ndarray          # (N, m)
+    sN: jnp.ndarray         # (mN,)
+    zN: jnp.ndarray         # (mN,)
+    mu: jnp.ndarray         # scalar
+    kkt_error: jnp.ndarray  # scalar
+    objective: jnp.ndarray  # scalar
+    iterations: jnp.ndarray  # scalar int
+    converged: jnp.ndarray  # scalar bool
+    status: jnp.ndarray     # 0 ok, 1 max_iter, 2 diverged/NaN
+
+
+# ---------------------------------------------------------------------------
+# Stage constraint assembly: rows = [u-ubu; lbu-u; x-ubx; lbx-x; h(x,u,θ)]
+# ---------------------------------------------------------------------------
+
+
+def _stage_ineq_fn(funcs: OCPFunctions, dims: OCPDims):
+    def c_fn(x, u, theta, lbx, ubx, lbu, ubu, mask):
+        rows = [u - ubu, lbu - u, x - ubx, lbx - x]
+        if funcs.stage_ineq is not None and dims.n_h:
+            rows.append(funcs.stage_ineq(x, u, theta))
+        c = jnp.concatenate(rows)
+        return jnp.where(mask, c, -1.0)
+    return c_fn
+
+
+def _term_ineq_fn(funcs: OCPFunctions, dims: OCPDims):
+    def cN_fn(x, thetaN, lbx, ubx, mask):
+        rows = [x - ubx, lbx - x]
+        if funcs.term_ineq is not None and dims.n_hN:
+            rows.append(funcs.term_ineq(x, thetaN))
+        c = jnp.concatenate(rows)
+        return jnp.where(mask, c, -1.0)
+    return cN_fn
+
+
+def _constraint_masks(bounds: OCPBounds, dims: OCPDims, fix_x0: bool):
+    """Static validity masks for the padded inequality rows."""
+    m_u = jnp.isfinite(bounds.ubu)
+    m_lu = jnp.isfinite(bounds.lbu)
+    m_x = jnp.isfinite(bounds.ubx[:-1])
+    m_lx = jnp.isfinite(bounds.lbx[:-1])
+    if fix_x0:
+        # x_0 is not a decision variable: its bound rows are meaningless
+        m_x = m_x.at[0].set(False)
+        m_lx = m_lx.at[0].set(False)
+    h_mask = jnp.ones((dims.N, dims.n_h), bool)
+    mask = jnp.concatenate([m_u, m_lu, m_x, m_lx, h_mask], axis=1)
+    mN = jnp.concatenate([
+        jnp.isfinite(bounds.ubx[-1]), jnp.isfinite(bounds.lbx[-1]),
+        jnp.ones((dims.n_hN,), bool)])
+    return mask, mN
+
+
+def _convexify(M, min_eig):
+    """Eigenvalue-clip a symmetric matrix to be positive definite."""
+    M = 0.5 * (M + M.T)
+    w, V = jnp.linalg.eigh(M)
+    w = jnp.maximum(w, min_eig)
+    return (V * w) @ V.T
+
+
+# ---------------------------------------------------------------------------
+# Main solver
+# ---------------------------------------------------------------------------
+
+
+def solve_ocp(
+    funcs: OCPFunctions,
+    dims: OCPDims,
+    bounds: OCPBounds,
+    theta: jnp.ndarray,            # (N+1, n_theta); row N feeds terminal functions
+    x0: jnp.ndarray,               # (nx,) initial state (or arrival guess if free)
+    X_init: jnp.ndarray,           # (N+1, nx)
+    U_init: jnp.ndarray,           # (N, nu)
+    options: IPOptions = IPOptions(),
+    fix_x0: bool = True,
+) -> OCPSolution:
+    """Solve one OCP instance. jit/vmap-compatible; all control flow is lax."""
+    nx, nu, N = dims.nx, dims.nu, dims.N
+    m = 2 * nu + 2 * nx + dims.n_h
+    mN = 2 * nx + dims.n_hN
+    dtype = X_init.dtype
+    opt = options
+
+    c_fn = _stage_ineq_fn(funcs, dims)
+    cN_fn = _term_ineq_fn(funcs, dims)
+    mask, maskN = _constraint_masks(bounds, dims, fix_x0)
+    mask_f = mask.astype(dtype)
+    maskN_f = maskN.astype(dtype)
+    lbx_s, ubx_s = bounds.lbx[:-1], bounds.ubx[:-1]
+
+    big = jnp.asarray(1e20, dtype)
+
+    def safe_b(b):
+        return jnp.clip(jnp.nan_to_num(b, posinf=1e20, neginf=-1e20), -big, big)
+
+    lbx_c, ubx_c = safe_b(lbx_s), safe_b(ubx_s)
+    lbu_c, ubu_c = safe_b(bounds.lbu), safe_b(bounds.ubu)
+    lbxN_c, ubxN_c = safe_b(bounds.lbx[-1]), safe_b(bounds.ubx[-1])
+
+    def stage_c(X, U):
+        return jax.vmap(c_fn)(X[:-1], U, theta[:-1], lbx_c, ubx_c, lbu_c, ubu_c, mask)
+
+    def term_c(X):
+        return cN_fn(X[-1], theta[-1], lbxN_c, ubxN_c, maskN)
+
+    # Jacobians of the stage inequality rows w.r.t. (x, u)
+    def stage_c_jac(x, u, th, lbx, ubx, lbu, ubu, msk):
+        Cx = jax.jacfwd(c_fn, argnums=0)(x, u, th, lbx, ubx, lbu, ubu, msk)
+        Cu = jax.jacfwd(c_fn, argnums=1)(x, u, th, lbx, ubx, lbu, ubu, msk)
+        return Cx, Cu
+
+    def term_c_jac(x):
+        return jax.jacfwd(cN_fn, argnums=0)(x, theta[-1], lbxN_c, ubxN_c, maskN)
+
+    # dynamics linearization (value + jacobians in one vmapped pass)
+    def dyn_lin(x, u, th):
+        F = funcs.dyn(x, u, th)
+        A = jax.jacfwd(funcs.dyn, argnums=0)(x, u, th)
+        B = jax.jacfwd(funcs.dyn, argnums=1)(x, u, th)
+        return F, A, B
+
+    def cost_terms(x, u, th):
+        gx = jax.grad(funcs.stage_cost, argnums=0)(x, u, th)
+        gu = jax.grad(funcs.stage_cost, argnums=1)(x, u, th)
+        H = jax.hessian(funcs.stage_cost, argnums=(0, 1))(x, u, th)
+        Hxx, Hxu = H[0]
+        Hux, Huu = H[1]
+        if opt.convexify:
+            M = jnp.block([[Hxx, Hxu], [Hux, Huu]])
+            M = _convexify(M, opt.min_eig)
+            Hxx, Hxu = M[:nx, :nx], M[:nx, nx:]
+            Hux, Huu = M[nx:, :nx], M[nx:, nx:]
+        return gx, gu, Hxx, Hux, Huu
+
+    def term_terms(x):
+        g = jax.grad(funcs.term_cost, argnums=0)(x, theta[-1])
+        H = jax.hessian(funcs.term_cost, argnums=0)(x, theta[-1])
+        if opt.convexify:
+            H = _convexify(H, opt.min_eig)
+        return g, H
+
+    def objective(X, U):
+        stage = jax.vmap(funcs.stage_cost)(X[:-1], U, theta[:-1])
+        return jnp.sum(stage) + funcs.term_cost(X[-1], theta[-1])
+
+    def dyn_defect(X, U):
+        F = jax.vmap(funcs.dyn)(X[:-1], U, theta[:-1])
+        return F - X[1:]
+
+    # -- init ---------------------------------------------------------------
+    X = X_init
+    if fix_x0:
+        X = X.at[0].set(x0)
+    U = U_init
+    c0 = stage_c(X, U)
+    cN0 = term_c(X)
+    mu0 = jnp.asarray(opt.mu_init, dtype)
+    s = jnp.maximum(-c0, opt.s_min)
+    sN = jnp.maximum(-cN0, opt.s_min)
+    z = mu0 / s * mask_f + (1.0 - mask_f)
+    zN = mu0 / sN * maskN_f + (1.0 - maskN_f)
+    lam = jnp.zeros((N, nx), dtype)
+    nu_pen = jnp.asarray(10.0, dtype)
+
+    class Carry(NamedTuple):
+        X: jnp.ndarray
+        U: jnp.ndarray
+        lam: jnp.ndarray
+        s: jnp.ndarray
+        z: jnp.ndarray
+        sN: jnp.ndarray
+        zN: jnp.ndarray
+        mu: jnp.ndarray
+        nu_pen: jnp.ndarray
+        kkt: jnp.ndarray
+        it: jnp.ndarray
+        converged: jnp.ndarray
+        diverged: jnp.ndarray
+
+    def kkt_error(X, U, lam, s, z, sN, zN, mu):
+        F, A, B = jax.vmap(dyn_lin)(X[:-1], U, theta[:-1])
+        gx, gu, *_ = jax.vmap(cost_terms)(X[:-1], U, theta[:-1])
+        gN, _ = term_terms(X[-1])
+        c = stage_c(X, U)
+        cN = term_c(X)
+        Cx, Cu = jax.vmap(stage_c_jac)(X[:-1], U, theta[:-1], lbx_c, ubx_c,
+                                       lbu_c, ubu_c, mask)
+        CxN = term_c_jac(X[-1])
+        zm = z * mask_f
+        zNm = zN * maskN_f
+        # stationarity w.r.t. x_k (k=1..N-1): gx_k + A_kᵀlam_k - lam_{k-1} + Cxᵀz
+        r_x = (gx + jnp.einsum("kij,ki->kj", A, lam)
+               + jnp.einsum("kij,ki->kj", Cx, zm))
+        r_x = r_x.at[1:].add(-lam[:-1])
+        r_x_tail = r_x[1:]  # x_0 fixed -> its stationarity row excluded when fix_x0
+        r_xN = gN - lam[-1] + CxN.T @ zNm
+        r_u = (gu + jnp.einsum("kij,ki->kj", B, lam)
+               + jnp.einsum("kij,ki->kj", Cu, zm))
+        r_dyn = F - X[1:]
+        r_ineq = (c + s) * mask_f
+        r_ineqN = (cN + sN) * maskN_f
+        r_comp = (s * z - mu) * mask_f
+        r_compN = (sN * zN - mu) * maskN_f
+        stat_terms = [jnp.max(jnp.abs(r_u)), jnp.max(jnp.abs(r_xN))]
+        if not fix_x0:
+            stat_terms.append(jnp.max(jnp.abs(r_x[0])))
+        if N > 1:
+            stat_terms.append(jnp.max(jnp.abs(r_x_tail)))
+        # scale stationarity like IPOPT's s_d to tolerate large multipliers
+        s_d = jnp.maximum(1.0, (jnp.sum(jnp.abs(lam)) + jnp.sum(jnp.abs(zm))
+                                + jnp.sum(jnp.abs(zNm)))
+                          / (N * nx + N * m + mN)) / 1.0
+        e_stat = jnp.max(jnp.stack(stat_terms)) / s_d
+        e_feas = jnp.maximum(jnp.max(jnp.abs(r_dyn)),
+                             jnp.maximum(jnp.max(jnp.abs(r_ineq), initial=0.0),
+                                         jnp.max(jnp.abs(r_ineqN), initial=0.0)))
+        e_comp = jnp.maximum(jnp.max(jnp.abs(r_comp), initial=0.0),
+                             jnp.max(jnp.abs(r_compN), initial=0.0)) / s_d
+        return jnp.maximum(e_stat, jnp.maximum(e_feas, e_comp))
+
+    def merit(X, U, s, sN, mu, nu_p):
+        f = objective(X, U)
+        bar = -mu * (jnp.sum(jnp.log(jnp.maximum(s, 1e-30)) * mask_f)
+                     + jnp.sum(jnp.log(jnp.maximum(sN, 1e-30)) * maskN_f))
+        viol = (jnp.sum(jnp.abs(dyn_defect(X, U)))
+                + jnp.sum(jnp.abs((stage_c(X, U) + s) * mask_f))
+                + jnp.sum(jnp.abs((term_c(X) + sN) * maskN_f)))
+        return f + bar + nu_p * viol
+
+    def iteration(carry: Carry) -> Carry:
+        X, U, lam, s, z, sN, zN, mu, nu_p = (
+            carry.X, carry.U, carry.lam, carry.s, carry.z, carry.sN, carry.zN,
+            carry.mu, carry.nu_pen)
+
+        F, A, B = jax.vmap(dyn_lin)(X[:-1], U, theta[:-1])
+        gx, gu, Hxx, Hux, Huu = jax.vmap(cost_terms)(X[:-1], U, theta[:-1])
+        gN, HN = term_terms(X[-1])
+        c = stage_c(X, U)
+        cN = term_c(X)
+        Cx, Cu = jax.vmap(stage_c_jac)(X[:-1], U, theta[:-1], lbx_c, ubx_c,
+                                       lbu_c, ubu_c, mask)
+        CxN = term_c_jac(X[-1])
+
+        sigma = jnp.where(mask, z / s, 0.0)
+        sigmaN = jnp.where(maskN, zN / sN, 0.0)
+        r_ineq = (c + s) * mask_f
+        r_ineqN = (cN + sN) * maskN_f
+        zhat = jnp.where(mask, (mu + z * r_ineq) / s, 0.0)
+        zhatN = jnp.where(maskN, (mu + zN * r_ineqN) / sN, 0.0)
+
+        Qb = Hxx + jnp.einsum("kmi,km,kmj->kij", Cx, sigma, Cx)
+        Rb = Huu + jnp.einsum("kmi,km,kmj->kij", Cu, sigma, Cu)
+        Sb = Hux + jnp.einsum("kmi,km,kmj->kij", Cu, sigma, Cx)
+        qb = gx + jnp.einsum("kmi,km->ki", Cx, zhat)
+        rb = gu + jnp.einsum("kmi,km->ki", Cu, zhat)
+        P_term = HN + jnp.einsum("mi,m,mj->ij", CxN, sigmaN, CxN)
+        p_term = gN + CxN.T @ zhatN
+
+        r_dyn = F - X[1:]
+        if fix_x0:
+            dx0 = jnp.zeros(nx, dtype)
+        else:
+            # free initial state: choose dx0 minimizing the value function at stage 0
+            _, _, P0, p0, _, _, _ = backward_sweep(
+                A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term, opt.reg)
+            dx0 = -jnp.linalg.solve(
+                P0 + opt.reg * jnp.eye(nx, dtype=dtype), p0)
+        sol = solve_lq(A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term, dx0,
+                       reg=opt.reg)
+        dX, dU, lam_new = sol.dX, sol.dU, sol.lam
+
+        dC = (jnp.einsum("kmi,ki->km", Cx, dX[:-1])
+              + jnp.einsum("kmi,ki->km", Cu, dU))
+        dCN = CxN @ dX[-1]
+        ds = jnp.where(mask, -r_ineq - dC, 0.0)
+        dsN = jnp.where(maskN, -r_ineqN - dCN, 0.0)
+        dz = jnp.where(mask, (mu - s * z - z * ds) / s, 0.0)
+        dzN = jnp.where(maskN, (mu - sN * zN - zN * dsN) / sN, 0.0)
+
+        # fraction-to-boundary
+        tau = jnp.maximum(opt.tau_min, 1.0 - mu)
+
+        def max_step(v, dv, msk):
+            ratio = jnp.where((dv < 0) & msk, -tau * v / jnp.minimum(dv, -1e-30), 1.0)
+            return jnp.minimum(1.0, jnp.min(ratio, initial=1.0))
+
+        a_s = jnp.minimum(max_step(s, ds, mask), max_step(sN, dsN, maskN))
+        a_z = jnp.minimum(max_step(z, dz, mask), max_step(zN, dzN, maskN))
+
+        # penalty update from new multipliers
+        lam_inf = jnp.max(jnp.abs(lam_new))
+        z_inf = jnp.maximum(jnp.max(jnp.abs(z + dz), initial=0.0),
+                            jnp.max(jnp.abs(zN + dzN), initial=0.0))
+        nu_new = jnp.maximum(nu_p, 1.5 * jnp.maximum(lam_inf, z_inf) + 1.0)
+
+        # backtracking line search on the l1 barrier merit (candidates evaluated
+        # in parallel — a vmapped "batch over alphas" instead of a data-dependent loop)
+        alphas = a_s * (0.5 ** jnp.arange(opt.n_linesearch, dtype=dtype))
+
+        def merit_at(a):
+            return merit(X + a * dX, U + a * dU, s + a * ds, sN + a * dsN, mu, nu_new)
+
+        phis = jax.vmap(merit_at)(alphas)
+        phi0 = merit(X, U, s, sN, mu, nu_new)
+        # accept the largest step that does not increase the merit (up to roundoff —
+        # near the solution Newton steps change the merit by ~eps, and demanding a
+        # strict decrease would stall the iteration); otherwise take the best trial
+        ok = (phis <= phi0 + 1e-12 * (1.0 + jnp.abs(phi0))) & jnp.isfinite(phis)
+        any_ok = jnp.any(ok)
+        first_ok = jnp.argmax(ok)  # first True (largest alpha)
+        best = jnp.argmin(jnp.where(jnp.isfinite(phis), phis, jnp.inf))
+        alpha = jnp.where(any_ok, alphas[first_ok], alphas[best])
+
+        X_new = X + alpha * dX
+        U_new = U + alpha * dU
+        s_new = jnp.maximum(jnp.where(mask, s + alpha * ds, 1.0), 1e-30)
+        sN_new = jnp.maximum(jnp.where(maskN, sN + alpha * dsN, 1.0), 1e-30)
+        z_new = jnp.maximum(jnp.where(mask, z + a_z * dz, 1.0), 1e-30)
+        zN_new = jnp.maximum(jnp.where(maskN, zN + a_z * dzN, 1.0), 1e-30)
+
+        # IPOPT-style dual safeguard: keep z within kappa_Sigma of mu/s
+        kap = 1e10
+        z_new = jnp.clip(z_new, mu / (kap * s_new), kap * mu / s_new)
+        zN_new = jnp.clip(zN_new, mu / (kap * sN_new), kap * mu / sN_new)
+
+        bad = ~(jnp.all(jnp.isfinite(X_new)) & jnp.all(jnp.isfinite(U_new))
+                & jnp.all(jnp.isfinite(z_new)))
+        X_new = jnp.where(bad, X, X_new)
+        U_new = jnp.where(bad, U, U_new)
+        s_new = jnp.where(bad, s, s_new)
+        z_new = jnp.where(bad, z, z_new)
+        sN_new = jnp.where(bad, sN, sN_new)
+        zN_new = jnp.where(bad, zN, zN_new)
+        lam_new = jnp.where(bad, lam, lam_new)
+
+        err_mu = kkt_error(X_new, U_new, lam_new, s_new, z_new, sN_new, zN_new, mu)
+        # monotone barrier reduction once the barrier subproblem is solved
+        shrink = err_mu <= opt.kappa_eps * mu
+        mu_new = jnp.where(
+            shrink,
+            jnp.maximum(opt.tol / 10.0,
+                        jnp.minimum(opt.kappa_mu * mu, mu ** opt.theta_mu)),
+            mu)
+        err0 = kkt_error(X_new, U_new, lam_new, s_new, z_new, sN_new, zN_new,
+                         jnp.zeros((), dtype))
+        converged = err0 <= opt.tol
+
+        return Carry(X=X_new, U=U_new, lam=lam_new, s=s_new, z=z_new, sN=sN_new,
+                     zN=zN_new, mu=mu_new, nu_pen=nu_new, kkt=err0,
+                     it=carry.it + 1, converged=converged,
+                     diverged=carry.diverged | bad)
+
+    init_carry = Carry(X=X, U=U, lam=lam, s=s, z=z, sN=sN, zN=zN, mu=mu0,
+                       nu_pen=nu_pen, kkt=jnp.asarray(jnp.inf, dtype),
+                       it=jnp.zeros((), jnp.int32),
+                       converged=jnp.zeros((), bool), diverged=jnp.zeros((), bool))
+
+    def masked_iteration(cr: Carry) -> Carry:
+        # under vmap, while_loop applies the body to every lane while ANY lane is
+        # active — finished lanes must freeze themselves
+        new = iteration(cr)
+        keep = cr.converged | cr.diverged
+        return jax.tree.map(lambda a, b: jnp.where(keep, a, b), cr, new)
+
+    if opt.early_exit:
+        def cond(cr):
+            return (cr.it < opt.max_iter) & ~cr.converged & ~cr.diverged
+
+        final = lax.while_loop(cond, masked_iteration, init_carry)
+    else:
+        final = lax.fori_loop(0, opt.max_iter,
+                              lambda _, cr: masked_iteration(cr), init_carry)
+
+    obj = objective(final.X, final.U)
+    status = jnp.where(final.converged, 0, jnp.where(final.diverged, 2, 1))
+    return OCPSolution(
+        X=final.X, U=final.U, lam=final.lam, s=final.s, z=final.z, sN=final.sN,
+        zN=final.zN, mu=final.mu, kkt_error=final.kkt, objective=obj,
+        iterations=final.it, converged=final.converged,
+        status=status.astype(jnp.int32))
+
+
+def solve_ocp_batched(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
+                      theta, x0, X_init, U_init,
+                      options: IPOptions = IPOptions(), fix_x0: bool = True,
+                      bound_axes=None) -> OCPSolution:
+    """vmap `solve_ocp` over a leading batch axis of (theta, x0, X_init, U_init).
+
+    `bound_axes`: optional OCPBounds of in_axes (0 or None per field) when bounds vary
+    per scenario.
+    """
+    if bound_axes is None:
+        b_ax = None
+    else:
+        b_ax = bound_axes
+    solver = partial(solve_ocp, funcs, dims, options=options, fix_x0=fix_x0)
+    return jax.vmap(lambda b, th, x, Xi, Ui: solver(b, th, x, Xi, Ui),
+                    in_axes=(b_ax, 0, 0, 0, 0))(bounds, theta, x0, X_init, U_init)

@@ -1,0 +1,133 @@
+"""Riccati block elimination for stagewise (block-banded) KKT systems.
+
+This is the factorization core of the NMPC/MHE engine — the TPU-native replacement for
+the sparse KKT factorizations IPOPT/qpoases perform inside the reference's solver calls
+(reference: hilo_mpc/modules/controller/mpc.py:1780, mpc.py:2276). The horizon recursion
+runs as a `lax.scan`; every per-stage operation is dense small-matrix algebra that, once
+`vmap`-ed over thousands of scenarios, becomes large batched einsums XLA tiles onto the
+MXU. Infinite-horizon/LQR gains reuse the same sweep.
+
+Equality-constrained LQ problem solved here:
+
+    min  Σ_{k=0}^{N-1} [ ½ dxᵀQ_k dx + dxᵀS_kᵀdu... ] + ½ dx_Nᵀ P_term dx_N + ...
+    s.t. dx_{k+1} = A_k dx_k + B_k du_k + c_k,   dx_0 given.
+
+Stage blocks: Q (N,nx,nx), R (N,nu,nu), S (N,nu,nx), q (N,nx), r (N,nu),
+A (N,nx,nx), B (N,nx,nu), c (N,nx), terminal P_term (nx,nx), p_term (nx,).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class LQSolution(NamedTuple):
+    dX: jnp.ndarray      # (N+1, nx)
+    dU: jnp.ndarray      # (N, nu)
+    lam: jnp.ndarray     # (N, nx) multipliers of the dynamics rows (for x_1..x_N)
+    K: jnp.ndarray       # (N, nu, nx) feedback gains
+    kff: jnp.ndarray     # (N, nu) feedforward
+    cost_red: jnp.ndarray  # predicted objective reduction (scalar, >= 0 at descent)
+
+
+def backward_sweep(A, B, Q, S, R, q, r, c, P_term, p_term, reg: float = 1e-9):
+    """Backward Riccati recursion. Returns (K, kff, P_0, p_0, Ps, ps).
+
+    Regularization `reg` is added to the control-space Schur complement G to guarantee
+    factorizability; with PSD stage blocks (Gauss-Newton + barrier terms) G is PD and
+    reg only guards roundoff.
+    """
+
+    def step(carry, blocks):
+        P_next, p_next = carry
+        A_k, B_k, Q_k, S_k, R_k, q_k, r_k, c_k = blocks
+        Pc_p = P_next @ c_k + p_next                      # (nx,)
+        PA = P_next @ A_k                                  # (nx, nx)
+        PB = P_next @ B_k                                  # (nx, nu)
+        G = R_k + B_k.T @ PB                               # (nu, nu)
+        G = 0.5 * (G + G.T) + reg * jnp.eye(G.shape[0], dtype=G.dtype)
+        H_ux = S_k + B_k.T @ PA                            # (nu, nx)
+        g_u = r_k + B_k.T @ Pc_p                           # (nu,)
+        L = jnp.linalg.cholesky(G)
+        K_k = -jax.scipy.linalg.cho_solve((L, True), H_ux)
+        kff_k = -jax.scipy.linalg.cho_solve((L, True), g_u)
+        P_k = Q_k + A_k.T @ PA + H_ux.T @ K_k
+        P_k = 0.5 * (P_k + P_k.T)
+        p_k = q_k + A_k.T @ Pc_p + H_ux.T @ kff_k
+        # predicted decrease contribution: -½ kffᵀ G kff - kffᵀ g_u = ½ kffᵀ G kff
+        dec = -0.5 * jnp.dot(kff_k, g_u)
+        return (P_k, p_k), (K_k, kff_k, P_next, p_next, dec)
+
+    (P0, p0), (K, kff, Ps_next, ps_next, dec) = lax.scan(
+        step, (P_term, p_term), (A, B, Q, S, R, q, r, c), reverse=True)
+    return K, kff, P0, p0, Ps_next, ps_next, jnp.sum(dec)
+
+
+def forward_sweep(A, B, c, K, kff, dx0, Ps_next, ps_next):
+    """Forward rollout of the affine policy; also recovers dynamics multipliers."""
+
+    def step(dx, blocks):
+        A_k, B_k, c_k, K_k, kff_k, P_n, p_n = blocks
+        du = K_k @ dx + kff_k
+        dx_next = A_k @ dx + B_k @ du + c_k
+        lam_next = P_n @ dx_next + p_n
+        return dx_next, (dx_next, du, lam_next)
+
+    _, (dX_tail, dU, lam) = lax.scan(
+        step, dx0, (A, B, c, K, kff, Ps_next, ps_next))
+    dX = jnp.concatenate([dx0[None, :], dX_tail], axis=0)
+    return dX, dU, lam
+
+
+def solve_lq(A, B, Q, S, R, q, r, c, P_term, p_term, dx0, reg: float = 1e-9
+             ) -> LQSolution:
+    """Solve the stagewise equality-constrained LQ problem by Riccati elimination."""
+    K, kff, P0, p0, Ps_next, ps_next, dec = backward_sweep(
+        A, B, Q, S, R, q, r, c, P_term, p_term, reg)
+    dX, dU, lam = forward_sweep(A, B, c, K, kff, dx0, Ps_next, ps_next)
+    return LQSolution(dX=dX, dU=dU, lam=lam, K=K, kff=kff, cost_red=dec)
+
+
+def lqr_backward(A, B, Q, R, S=None, P_term=None, horizon: int = None):
+    """Finite-horizon time-invariant LQR gains K_0..K_{N-1} (and P_0).
+
+    Replaces the reference's unrolled symbolic Riccati iteration (reference:
+    hilo_mpc/modules/controller/lqr.py:204-260).
+    """
+    nx = A.shape[0]
+    nu = B.shape[1]
+    dtype = A.dtype
+    if S is None:
+        S = jnp.zeros((nu, nx), dtype)
+    if P_term is None:
+        P_term = Q
+    N = horizon
+
+    def rep(M):
+        return jnp.broadcast_to(M, (N,) + M.shape)
+
+    K, kff, P0, p0, _, _, _ = backward_sweep(
+        rep(A), rep(B), rep(Q), rep(S), rep(R),
+        jnp.zeros((N, nx), dtype), jnp.zeros((N, nu), dtype),
+        jnp.zeros((N, nx), dtype), P_term, jnp.zeros(nx, dtype))
+    return K, P0
+
+
+def dare_solve(A, B, Q, R, iters: int = 200):
+    """Infinite-horizon discrete algebraic Riccati equation by fixed-point iteration."""
+    dtype = A.dtype
+    nu = B.shape[1]
+
+    def body(_, P):
+        PB = P @ B
+        G = R + B.T @ PB
+        K = jnp.linalg.solve(G, (B.T @ P @ A))
+        P_new = Q + A.T @ P @ (A - B @ K)
+        return 0.5 * (P_new + P_new.T)
+
+    P = lax.fori_loop(0, iters, body, Q)
+    K = jnp.linalg.solve(R + B.T @ P @ B, B.T @ P @ A)
+    return K, P

@@ -1,0 +1,158 @@
+"""Interior-point OCP solver tests: parity vs scipy (tier (d), SURVEY.md §4) and
+Riccati/LQR numerics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import minimize
+
+from hilo_mpc_tpu.ops.ip_solver import (IPOptions, OCPBounds, OCPDims,
+                                        OCPFunctions, solve_ocp)
+from hilo_mpc_tpu.ops.riccati import dare_solve, lqr_backward, solve_lq
+
+NX, NU, N = 2, 1, 10
+DT = 0.2
+A = np.array([[1.0, DT], [0.0, 1.0]])
+B = np.array([[0.5 * DT ** 2], [DT]])
+Q = np.diag([1.0, 0.1])
+R = np.array([[0.05]])
+X0 = np.array([1.5, 0.0])
+
+
+def _funcs():
+    dyn = lambda x, u, th: jnp.asarray(A) @ x + jnp.asarray(B) @ u
+    sc = lambda x, u, th: x @ jnp.asarray(Q) @ x + u @ jnp.asarray(R) @ u
+    tc = lambda x, th: 5.0 * (x @ jnp.asarray(Q) @ x)
+    return OCPFunctions(dyn=dyn, stage_cost=sc, term_cost=tc)
+
+
+def _solve(bounds, opts=None, x0=X0):
+    dims = OCPDims(nx=NX, nu=NU, N=N)
+    theta = jnp.zeros((N + 1, 2))
+    Xi = jnp.tile(jnp.asarray(x0)[None], (N + 1, 1))
+    Ui = jnp.zeros((N, NU))
+    return solve_ocp(_funcs(), dims, bounds, theta, jnp.asarray(x0), Xi, Ui,
+                     opts or IPOptions(max_iter=60, tol=1e-8))
+
+
+def _scipy_obj(Uflat, x0=X0):
+    U = Uflat.reshape(N, NU)
+    x = np.array(x0)
+    J = 0.0
+    for k in range(N):
+        J += x @ Q @ x + U[k] @ R @ U[k]
+        x = A @ x + B @ U[k]
+    return J + 5.0 * x @ Q @ x
+
+
+def _sim(Uflat, x0=X0):
+    U = Uflat.reshape(N, NU)
+    xs = [np.array(x0)]
+    for k in range(N):
+        xs.append(A @ xs[-1] + B @ U[k])
+    return np.array(xs)
+
+
+class TestIPSolver:
+    def test_box_constrained_matches_scipy(self):
+        inf = np.inf
+        bounds = OCPBounds(
+            lbx=jnp.full((N + 1, NX), -inf), ubx=jnp.full((N + 1, NX), inf),
+            lbu=jnp.full((N, NU), -0.6), ubu=jnp.full((N, NU), 0.6))
+        sol = _solve(bounds)
+        assert bool(sol.converged)
+        assert float(sol.kkt_error) < 1e-8
+        res = minimize(_scipy_obj, np.zeros(N), method="SLSQP",
+                       bounds=[(-0.6, 0.6)] * N,
+                       options={"ftol": 1e-12, "maxiter": 500})
+        np.testing.assert_allclose(np.asarray(sol.U).ravel(), res.x, atol=1e-5)
+        assert abs(float(sol.objective) - res.fun) < 1e-6
+
+    def test_state_constrained_matches_scipy(self):
+        inf = np.inf
+        bounds = OCPBounds(
+            lbx=jnp.concatenate([jnp.full((N + 1, 1), -inf),
+                                 jnp.full((N + 1, 1), -0.35)], axis=1),
+            ubx=jnp.full((N + 1, NX), inf),
+            lbu=jnp.full((N, NU), -0.6), ubu=jnp.full((N, NU), 0.6))
+        sol = _solve(bounds, IPOptions(max_iter=80, tol=1e-8))
+        assert bool(sol.converged)
+        assert np.asarray(sol.X)[:, 1].min() > -0.35 - 1e-7
+        cons = [{"type": "ineq", "fun": lambda Uf: _sim(Uf)[:, 1] + 0.35}]
+        res = minimize(_scipy_obj, np.zeros(N), method="SLSQP",
+                       bounds=[(-0.6, 0.6)] * N, constraints=cons,
+                       options={"ftol": 1e-12, "maxiter": 500})
+        np.testing.assert_allclose(np.asarray(sol.U).ravel(), res.x, atol=1e-5)
+
+    def test_unconstrained_matches_riccati(self):
+        inf = np.inf
+        bounds = OCPBounds(
+            lbx=jnp.full((N + 1, NX), -inf), ubx=jnp.full((N + 1, NX), inf),
+            lbu=jnp.full((N, NU), -inf), ubu=jnp.full((N, NU), inf))
+        sol = _solve(bounds)
+        assert bool(sol.converged)
+        # closed-form LQ solution via a single Riccati sweep (our own sweep, but fed
+        # exact matrices — the IP path must agree after convergence)
+        lq = solve_lq(
+            jnp.tile(jnp.asarray(A)[None], (N, 1, 1)),
+            jnp.tile(jnp.asarray(B)[None], (N, 1, 1)),
+            jnp.tile(2 * jnp.asarray(Q)[None], (N, 1, 1)),
+            jnp.zeros((N, NU, NX)),
+            jnp.tile(2 * jnp.asarray(R)[None], (N, 1, 1)),
+            jnp.zeros((N, NX)), jnp.zeros((N, NU)), jnp.zeros((N, NX)),
+            10.0 * jnp.asarray(Q), jnp.zeros(NX), jnp.asarray(X0))
+        np.testing.assert_allclose(np.asarray(sol.U), np.asarray(lq.dU), atol=1e-6)
+
+    def test_batched_vmap_solves(self):
+        inf = np.inf
+        bounds = OCPBounds(
+            lbx=jnp.full((N + 1, NX), -inf), ubx=jnp.full((N + 1, NX), inf),
+            lbu=jnp.full((N, NU), -0.6), ubu=jnp.full((N, NU), 0.6))
+        dims = OCPDims(nx=NX, nu=NU, N=N)
+        Bn = 8
+        x0s = jnp.asarray(np.random.default_rng(0).normal(size=(Bn, NX)))
+        theta = jnp.zeros((Bn, N + 1, 2))
+        Xi = jnp.tile(x0s[:, None, :], (1, N + 1, 1))
+        Ui = jnp.zeros((Bn, N, NU))
+        funcs = _funcs()
+        opts = IPOptions(max_iter=60, tol=1e-8)
+
+        batch = jax.vmap(lambda th, x0, X, U: solve_ocp(
+            funcs, dims, bounds, th, x0, X, U, opts))
+        sol = batch(theta, x0s, Xi, Ui)
+        assert bool(jnp.all(sol.converged))
+        # spot-check one lane against a solo solve
+        solo = _solve(bounds, opts, x0=np.asarray(x0s[3]))
+        np.testing.assert_allclose(np.asarray(sol.U)[3], np.asarray(solo.U),
+                                   atol=1e-6)
+
+    def test_infeasible_start_recovers(self):
+        # x0 outside state bounds at later stages forces active work
+        bounds = OCPBounds(
+            lbx=jnp.full((N + 1, NX), -10.0), ubx=jnp.full((N + 1, NX), 10.0),
+            lbu=jnp.full((N, NU), -0.6), ubu=jnp.full((N, NU), 0.6))
+        sol = _solve(bounds)
+        assert bool(sol.converged)
+
+
+class TestRiccati:
+    def test_lqr_gain_stabilizes(self):
+        dtype = jnp.float64
+        K, P0 = lqr_backward(jnp.asarray(A, dtype), jnp.asarray(B, dtype),
+                             jnp.asarray(Q, dtype), jnp.asarray(R, dtype),
+                             horizon=50)
+        Acl = A + B @ np.asarray(K[0])   # sweep convention: u = +K x
+        assert np.max(np.abs(np.linalg.eigvals(Acl))) < 1.0
+
+    def test_dare_fixed_point(self):
+        dtype = jnp.float64
+        K, P = dare_solve(jnp.asarray(A, dtype), jnp.asarray(B, dtype),
+                          jnp.asarray(Q, dtype), jnp.asarray(R, dtype))
+        P = np.asarray(P)
+        K = np.asarray(K)
+        # verify the DARE residual
+        res = (A.T @ P @ A - P
+               - A.T @ P @ B @ np.linalg.solve(R + B.T @ P @ B, B.T @ P @ A) + Q)
+        assert np.max(np.abs(res)) < 1e-8
+        Acl = A - B @ K
+        assert np.max(np.abs(np.linalg.eigvals(Acl))) < 1.0
