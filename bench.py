@@ -1,0 +1,62 @@
+"""Benchmark: batched CSTR NMPC solves/s on one chip.
+
+Metric matches BASELINE.json: "NMPC solves/s/chip (CSTR, N=20 horizon)". The north-star
+target is >=10,000 batched solves/s on v5e-8, i.e. 1,250 solves/s/chip — `vs_baseline`
+is reported against that per-chip share.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    import __graft_entry__ as ge
+
+    dev = jax.devices()[0]
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    nmpc = ge._build_nmpc(N=20, tol=1e-4, max_iter=25)
+    import jax.numpy as jnp
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    args = ge._batch_inputs(nmpc, B, dtype)
+    fn = nmpc.solve_batch_fn()
+
+    # warm-up / compile
+    t0 = time.time()
+    sol = fn(*args)
+    jax.block_until_ready(sol.U)
+    compile_s = time.time() - t0
+    conv = float(np.asarray(sol.converged).mean())
+    iters = float(np.median(np.asarray(sol.iterations)))
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sol = fn(*args)
+        jax.block_until_ready(sol.U)
+        times.append(time.perf_counter() - t0)
+    t_best = min(times)
+    solves_per_s = B / t_best
+
+    target_per_chip = 10000.0 / 8.0
+    result = {
+        "metric": "NMPC solves/s/chip (CSTR, N=20, multiple shooting)",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / target_per_chip, 3),
+    }
+    print(json.dumps(result))
+    print(f"# device={dev.platform} B={B} t_best={t_best*1e3:.1f}ms "
+          f"compile={compile_s:.1f}s converged={conv:.3f} iters_p50={iters} "
+          f"per-solve={t_best/B*1e6:.1f}us", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

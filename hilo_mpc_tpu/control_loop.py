@@ -1,0 +1,78 @@
+"""Closed-loop orchestration of plant + controller + observer.
+
+Rebuild of the reference's SimpleControlLoop (reference: hilo_mpc/modules/
+control_loop.py:43-455): steps the plant with the controller's move and feeds the
+observer's estimate back. Controllers: NMPC/LMPC/OCP (optimize), PID/LQR (call), or any
+callable (e.g. a trained ANN policy). Observers: MHE/KF/EKF/UKF/PF. Name-based index
+maps between plant and controller models mirror control_loop.py:76-91.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import numpy as np
+
+from .core.model import Model
+from .core.series import TimeSeries
+
+
+class SimpleControlLoop:
+    def __init__(self, plant: Model, controller, observer=None):
+        if not plant.is_setup():
+            raise RuntimeError("plant must be set up (plant.setup(dt=...)) before "
+                               "building the loop")
+        self._plant = plant
+        self._controller = controller
+        self._observer = observer
+
+        # name-based mapping: controller model states -> plant state indices
+        self._ctrl_idx = None
+        ctrl_model = getattr(controller, "_model", None)
+        if ctrl_model is not None and hasattr(ctrl_model, "dynamical_states"):
+            plant_states = plant.dynamical_states
+            try:
+                self._ctrl_idx = [plant_states.index(n)
+                                  for n in ctrl_model.dynamical_states]
+            except ValueError:
+                self._ctrl_idx = None  # different naming: pass full state
+        self.solution = TimeSeries(plant.time_unit)
+        self.solution.register("x", plant.dynamical_states)
+        self.solution.register("u", plant.inputs)
+        self.solution.register("y", plant.measurements)
+
+    def _control(self, x0, k):
+        c = self._controller
+        if hasattr(c, "optimize"):
+            x_c = x0 if self._ctrl_idx is None else x0[self._ctrl_idx]
+            return np.atleast_1d(np.asarray(c.optimize(x_c)))
+        if hasattr(c, "call"):
+            return np.atleast_1d(np.asarray(c.call(x0)))
+        if callable(c):
+            return np.atleast_1d(np.asarray(c(x0)))
+        raise TypeError(f"unsupported controller {type(c).__name__}")
+
+    def run(self, steps: int, p=None, live_plot: bool = False):
+        plant = self._plant
+        if plant.solution is None or plant.solution.n_samples == 0:
+            raise RuntimeError("set plant initial conditions first "
+                               "(plant.set_initial_conditions(x0))")
+        x0 = plant.solution["x:f"]
+        for k in range(steps):
+            u = self._control(x0, k)
+            out = plant.simulate(u=u, p=p, steps=1)
+            x_true = out["x"][-1]
+            y = out["y"][-1]
+            if self._observer is not None:
+                est = self._observer.estimate(y=y, u=u)
+                x0 = x_true if est is None else np.atleast_1d(np.asarray(est))
+                if isinstance(est, tuple):
+                    x0 = np.atleast_1d(np.asarray(est[0]))
+            else:
+                x0 = x_true
+            self.solution.append(plant.solution["t"][-1], x=x_true, u=u, y=y)
+        return self.solution
+
+    def plot(self, **kwargs):
+        from .utils.plotting import plot_series
+
+        return plot_series(self.solution, **kwargs)

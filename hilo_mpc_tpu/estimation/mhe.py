@@ -1,0 +1,345 @@
+"""Moving-horizon estimation.
+
+TPU-native rebuild of the reference's MovingHorizonEstimator (reference: hilo_mpc/
+modules/estimator/mhe.py:38-1251). The window NLP — decision vars x_0..N, process noise
+w_0..N-1, optionally estimated parameters; arrival + measurement + state-noise costs —
+maps onto the same stagewise interior-point engine as NMPC (ops/ip_solver.py) with
+``fix_x0=False`` (the Riccati sweep picks the optimal free initial state, replacing the
+reference's flat-NLP decision vector, mhe.py:418-791). Estimated parameters ride as
+constant-dynamics state augmentations. Measurement buffering mirrors the reference's
+ring buffers (mhe.py:311-416).
+"""
+from __future__ import annotations
+
+from collections import deque
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.integrators import IntegratorSpec, make_step
+from ..core.series import TimeSeries
+from ..ops.ip_solver import (IPOptions, OCPBounds, OCPDims, OCPFunctions,
+                             solve_ocp)
+from .base import Estimator, _as_cov
+
+
+class MHEQuadraticCost:
+    """Accumulates MHE cost terms (reference: MHEQuadraticCost,
+    util/modeling.py:533-818)."""
+
+    def __init__(self, model):
+        self._model = model
+        self.W_meas: Optional[np.ndarray] = None       # measurement weight (R^-1-ish)
+        self.W_noise: Optional[np.ndarray] = None      # state-noise weight (Q^-1-ish)
+        self.W_arrival_x: Optional[np.ndarray] = None  # arrival state weight
+        self.W_arrival_p: Optional[np.ndarray] = None  # arrival parameter weight
+
+    def add_measurements(self, weights=None, names=None):
+        n = self._model.n_y
+        self.W_meas = _as_cov(weights if weights is not None else 1.0, n, "W_meas")
+        return self
+
+    def add_state_noise(self, weights=None, names=None):
+        n = self._model.n_x
+        self.W_noise = _as_cov(weights if weights is not None else 1.0, n, "W_noise")
+        return self
+
+
+class MovingHorizonEstimator(Estimator):
+    _estimator_type = "MHE"
+
+    def __init__(self, model, **kwargs):
+        super().__init__(model, **kwargs)
+        self._horizon: Optional[int] = None
+        self.quad_stage_cost = MHEQuadraticCost(self._model)
+        self.quad_arrival_cost = MHEQuadraticCost(self._model)
+        self._est_params: List[str] = []
+        self._p_guess: Optional[np.ndarray] = None
+        self._x_lb = np.full(self._model.n_x, -np.inf)
+        self._x_ub = np.full(self._model.n_x, np.inf)
+        self._p_lb = None
+        self._p_ub = None
+        self._w_bound = np.inf
+        self._y_history: deque = deque()
+        self._u_history: deque = deque()
+        self._setup_done = False
+
+    @property
+    def horizon(self):
+        return self._horizon
+
+    @horizon.setter
+    def horizon(self, N):
+        if int(N) < 1:
+            raise ValueError("horizon must be >= 1")
+        self._horizon = int(N)
+
+    def set_box_constraints(self, x_lb=None, x_ub=None, p_lb=None, p_ub=None,
+                            w_bound=None):
+        nx = self._model.n_x
+        if x_lb is not None:
+            self._x_lb = np.broadcast_to(np.asarray(x_lb, float).ravel(), (nx,)).copy()
+        if x_ub is not None:
+            self._x_ub = np.broadcast_to(np.asarray(x_ub, float).ravel(), (nx,)).copy()
+        if p_lb is not None:
+            self._p_lb = np.asarray(p_lb, dtype=float).ravel()
+        if p_ub is not None:
+            self._p_ub = np.asarray(p_ub, dtype=float).ravel()
+        if w_bound is not None:
+            self._w_bound = float(w_bound)
+        return self
+
+    def set_estimated_parameters(self, names, guess=None, arrival_weight=None):
+        """Declare model parameters to be estimated alongside the states."""
+        if isinstance(names, str):
+            names = [names]
+        for nm in names:
+            if nm not in self._model.parameters:
+                raise ValueError(f"{nm!r} is not a model parameter")
+        self._est_params = list(names)
+        if guess is not None:
+            self._p_guess = np.asarray(guess, dtype=float).ravel()
+        if arrival_weight is not None:
+            self.quad_arrival_cost.W_arrival_p = _as_cov(
+                arrival_weight, len(names), "arrival_p")
+        return self
+
+    # -- setup ----------------------------------------------------------------
+    def setup(self, dt: Optional[float] = None, options: Optional[dict] = None):
+        options = dict(options or {})
+        if self._horizon is None:
+            raise ValueError("set mhe.horizon before setup()")
+        m = self._model
+        N = self._horizon
+        self._dt = float(dt if dt is not None else
+                         options.get("dt", m.dt or 1.0))
+        nx, nu, ny, n_p = m.n_x, m.n_u, m.n_y, m.n_p
+        n_pe = len(self._est_params)
+        pe_idx = [m.parameters.index(nm) for nm in self._est_params]
+
+        method = options.get("integration_method",
+                             "discrete" if m.discrete else "rk4")
+        spec = IntegratorSpec(method=method, degree=options.get("degree", 3),
+                              substeps=options.get("substeps", 1))
+        core = make_step(m.ode_fn(), m.alg_fn(), nx, m.n_z, spec)
+        meas = m.meas_fn()
+        nz = m.n_z
+        h = self._dt
+
+        # default weights from covariances if not set explicitly
+        W_meas = (self.quad_stage_cost.W_meas if self.quad_stage_cost.W_meas
+                  is not None else np.linalg.inv(self._R))
+        W_noise = (self.quad_stage_cost.W_noise if self.quad_stage_cost.W_noise
+                   is not None else np.linalg.inv(self._Q))
+        W_arr_x = (self.quad_arrival_cost.W_arrival_x
+                   if self.quad_arrival_cost.W_arrival_x is not None
+                   else np.linalg.inv(self._P0))
+        W_arr_p = (self.quad_arrival_cost.W_arrival_p
+                   if self.quad_arrival_cost.W_arrival_p is not None
+                   else np.eye(n_pe))
+
+        # theta layout per node k: [t, u_k (nu), y_k (ny), p_full (n_p),
+        #                           arrival_x_bar (nx), arrival_p_bar (n_pe)]
+        off_u = 1
+        off_y = off_u + nu
+        off_p = off_y + ny
+        off_ax = off_p + n_p
+        off_ap = off_ax + nx
+        self._n_theta = off_ap + n_pe
+        self._offsets = (off_u, off_y, off_p, off_ax, off_ap)
+
+        nxs = nx + n_pe
+        arrival_scale = 1.0
+
+        def full_p(xs, theta):
+            p = theta[off_p:off_p + n_p]
+            if n_pe:
+                p = p.at[jnp.asarray(pe_idx)].set(xs[nx:])
+            return p
+
+        def dyn(xs, w, theta):
+            x = xs[:nx]
+            u = theta[off_u:off_u + nu]
+            p = full_p(xs, theta)
+            t = theta[0]
+            x_next, _ = core(x, jnp.zeros(nz, x.dtype), u, p, t, h)
+            return jnp.concatenate([x_next + w, xs[nx:]])
+
+        def stage_cost(xs, w, theta):
+            x = xs[:nx]
+            u = theta[off_u:off_u + nu]
+            y = theta[off_y:off_y + ny]
+            p = full_p(xs, theta)
+            t = theta[0]
+            y_pred = jnp.atleast_1d(meas(x, jnp.zeros(nz, x.dtype), u, p, t))
+            e = y - y_pred
+            c = e @ jnp.asarray(W_meas, x.dtype) @ e
+            c = c + w @ jnp.asarray(W_noise, x.dtype) @ w
+            return c
+
+        # arrival handled via an indicator: append flag column
+        self._n_theta += 1
+        flag_col = self._n_theta - 1
+
+        def stage_cost_full(xs, w, theta):
+            c = stage_cost(xs, w, theta)
+            x = xs[:nx]
+            flag = theta[flag_col]
+            xbar = theta[off_ax:off_ax + nx]
+            dx = x - xbar
+            c = c + flag * (dx @ jnp.asarray(W_arr_x, x.dtype) @ dx)
+            if n_pe:
+                pbar = theta[off_ap:off_ap + n_pe]
+                dp = xs[nx:] - pbar
+                c = c + flag * (dp @ jnp.asarray(W_arr_p, x.dtype) @ dp)
+            return c
+
+        def term_cost(xs, theta):
+            x = xs[:nx]
+            u = theta[off_u:off_u + nu]
+            y = theta[off_y:off_y + ny]
+            p = full_p(xs, theta)
+            t = theta[0]
+            y_pred = jnp.atleast_1d(meas(x, jnp.zeros(nz, x.dtype), u, p, t))
+            e = y - y_pred
+            return e @ jnp.asarray(W_meas, x.dtype) @ e
+
+        dims = OCPDims(nx=nxs, nu=nx, N=N)
+        funcs = OCPFunctions(dyn=dyn, stage_cost=stage_cost_full,
+                             term_cost=term_cost)
+
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        lbx = np.tile(self._x_lb, (N + 1, 1))
+        ubx = np.tile(self._x_ub, (N + 1, 1))
+        if n_pe:
+            p_lb = (self._p_lb if self._p_lb is not None
+                    else np.full(n_pe, -np.inf))
+            p_ub = (self._p_ub if self._p_ub is not None
+                    else np.full(n_pe, np.inf))
+            lbx = np.concatenate([lbx, np.tile(p_lb, (N + 1, 1))], axis=1)
+            ubx = np.concatenate([ubx, np.tile(p_ub, (N + 1, 1))], axis=1)
+        bounds = OCPBounds(
+            lbx=jnp.asarray(lbx, dtype), ubx=jnp.asarray(ubx, dtype),
+            lbu=jnp.full((N, nx), -self._w_bound, dtype),
+            ubu=jnp.full((N, nx), self._w_bound, dtype))
+        self._bounds = bounds
+        self._dims = dims
+        self._funcs = funcs
+        ip_opts = IPOptions(max_iter=options.get("max_iter", 40),
+                            tol=options.get("tol", 1e-7),
+                            mu_init=options.get("mu_init", 1e-2))
+        self._solve_jit = jax.jit(partial(
+            solve_ocp, funcs, dims, options=ip_opts, fix_x0=False))
+        self._solver_dtype = dtype
+        self._register_solution()
+        self.solution.register("w", [f"w_{n}" for n in m.dynamical_states])
+        if n_pe:
+            self.solution.register("p_est", self._est_params)
+        self._x_arrival: Optional[np.ndarray] = None
+        self._p_arrival = (self._p_guess if self._p_guess is not None
+                           else np.zeros(n_pe))
+        self._warm = None
+        self._time = 0.0
+        self._setup_done = True
+        return self
+
+    # -- measurement buffering -------------------------------------------------
+    def add_measurements(self, y, u=None):
+        y = np.asarray(y, dtype=float).ravel()
+        if y.size != self.n_y:
+            raise ValueError(f"y has {y.size} entries, expected {self.n_y}")
+        self._y_history.append(y)
+        self._u_history.append(
+            np.zeros(self.n_u) if u is None
+            else np.asarray(u, dtype=float).ravel())
+        max_len = (self._horizon or 0) + 1
+        while len(self._y_history) > max_len:
+            self._y_history.popleft()
+            self._u_history.popleft()
+        return self
+
+    @property
+    def window_full(self) -> bool:
+        return len(self._y_history) >= (self._horizon or 0) + 1
+
+    # -- solve -----------------------------------------------------------------
+    def estimate(self, y=None, u=None, p=None):
+        """Add an optional new measurement, then solve the window problem.
+        Returns the current state estimate (and parameter estimates if any), or
+        None while the window is still filling."""
+        if not self._setup_done:
+            raise RuntimeError("call setup() first")
+        if y is not None:
+            self.add_measurements(y, u)
+        if not self.window_full:
+            return None
+        m = self._model
+        N = self._horizon
+        nx, n_pe = m.n_x, len(self._est_params)
+        if (p is None and self._p_values is None
+                and len(self._est_params) == m.n_p):
+            # every parameter is estimated: the theta placeholder values are
+            # overwritten by the augmented states anyway
+            p_vec = np.zeros(m.n_p)
+        else:
+            p_vec = self._p_or_default(p)
+        if self._x_arrival is None:
+            self._x_arrival = (self._x0 if self._x0 is not None
+                               else np.zeros(nx))
+
+        ys = np.stack(list(self._y_history))      # (N+1, ny)
+        us = np.stack(list(self._u_history))      # (N+1, nu) (u at node k)
+        t_col = self._time + self._dt * np.arange(N + 1)
+        theta = np.zeros((N + 1, self._n_theta))
+        off_u, off_y, off_p, off_ax, off_ap = self._offsets
+        theta[:, 0] = t_col
+        theta[:, off_u:off_u + m.n_u] = us
+        theta[:, off_y:off_y + m.n_y] = ys
+        theta[:, off_p:off_p + m.n_p] = p_vec[None, :]
+        theta[:, off_ax:off_ax + nx] = self._x_arrival[None, :]
+        if n_pe:
+            theta[:, off_ap:off_ap + n_pe] = self._p_arrival[None, :]
+        theta[0, -1] = 1.0   # arrival-cost indicator
+
+        dtype = self._solver_dtype
+        xs0 = np.concatenate([self._x_arrival,
+                              self._p_arrival[:n_pe]])
+        if self._warm is not None:
+            X_init, U_init = self._warm
+            X_init = np.vstack([X_init[1:], X_init[-1:]])
+            U_init = np.vstack([U_init[1:], U_init[-1:]])
+        else:
+            X_init = np.tile(xs0[None, :], (N + 1, 1))
+            U_init = np.zeros((N, nx))
+        sol = self._solve_jit(self._bounds, jnp.asarray(theta, dtype),
+                              jnp.asarray(xs0, dtype),
+                              jnp.asarray(X_init, dtype),
+                              jnp.asarray(U_init, dtype))
+        X = np.asarray(sol.X)
+        W = np.asarray(sol.U)
+        self._warm = (X, U_init if not np.all(np.isfinite(W)) else W)
+        # arrival update: next window starts one step later
+        self._x_arrival = X[1, :nx]
+        if n_pe:
+            self._p_arrival = X[-1, nx:]
+        x_est = X[-1, :nx]
+        self._time += self._dt
+        self.stats = {
+            "iterations": int(sol.iterations),
+            "kkt_error": float(sol.kkt_error),
+            "objective": float(sol.objective),
+            "converged": bool(sol.converged),
+        }
+        y_pred = np.asarray(jnp.atleast_1d(m.meas_fn()(
+            jnp.asarray(x_est), jnp.zeros(m.n_z), jnp.asarray(us[-1]),
+            jnp.asarray(p_vec), 0.0)))
+        kwargs = dict(x=x_est, y=y_pred, w=W[-1])
+        if n_pe:
+            kwargs["p_est"] = self._p_arrival
+        self.solution.append(self._time, **kwargs)
+        if n_pe:
+            return x_est, np.array(self._p_arrival)
+        return x_est

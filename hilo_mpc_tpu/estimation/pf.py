@@ -1,0 +1,160 @@
+"""Sampling-importance-resampling particle filter.
+
+TPU-native rebuild of the reference's ParticleFilter (reference: hilo_mpc/modules/
+estimator/pf.py:36-452): particles propagate through the model integrator with process
+noise via one `vmap` (the reference loops in Python over np arrays), Gaussian likelihood
+weights, systematic resampling (cumsum + searchsorted — branchless, unlike
+`np.random.choice` multinomial), optional roughening, Latin-hypercube initial sampling
+(reference: lhsnorm, pf.py:425).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.integrators import IntegratorSpec, make_step
+from .base import Estimator
+
+
+def lhsnorm(mean, cov, n: int, seed: int = 0) -> np.ndarray:
+    """Latin-hypercube sampling from N(mean, cov) (reference: pf.py:425)."""
+    from scipy.stats import norm
+
+    rng = np.random.default_rng(seed)
+    mean = np.atleast_1d(np.asarray(mean, dtype=float))
+    d = mean.size
+    u = (rng.permuted(np.tile(np.arange(n), (d, 1)), axis=1).T
+         + rng.uniform(size=(n, d))) / n
+    z = norm.ppf(np.clip(u, 1e-12, 1 - 1e-12))
+    L = np.linalg.cholesky(np.atleast_2d(np.asarray(cov, dtype=float))
+                           + 1e-12 * np.eye(d))
+    return mean[None, :] + z @ L.T
+
+
+class ParticleFilter(Estimator):
+    _estimator_type = "PF"
+
+    def __init__(self, model, n_particles: int = 100, roughening: bool = False,
+                 roughening_tuning: float = 0.2, seed: int = 0, **kwargs):
+        super().__init__(model, **kwargs)
+        if n_particles < 1:
+            raise ValueError("n_particles must be >= 1")
+        self.n_particles = int(n_particles)
+        self.roughening = bool(roughening)
+        self.roughening_tuning = float(roughening_tuning)
+        self._seed = seed
+        self._particles: Optional[np.ndarray] = None
+
+    def setup(self, dt: Optional[float] = None, integration_method: str = "rk4",
+              **options):
+        m = self._model
+        self._dt = float(dt if dt is not None else (m.dt or 1.0))
+        method = "discrete" if m.discrete else integration_method
+        spec = IntegratorSpec(method=method, degree=options.get("degree", 3),
+                              substeps=options.get("substeps", 1))
+        core = make_step(m.ode_fn(), m.alg_fn(), m.n_x, m.n_z, spec)
+        meas = m.meas_fn()
+        nz, nx, ny = m.n_z, m.n_x, m.n_y
+        h = self._dt
+        n_part = self.n_particles
+        rough = self.roughening
+        tune = self.roughening_tuning
+
+        def step(key, parts, u, p, y, t):
+            """(key, particles (M, nx), u, p, y, t) -> (key, particles+, x_est, y_est)"""
+            Q = jnp.asarray(self._Q, parts.dtype)
+            R = jnp.asarray(self._R, parts.dtype)
+            k1, k2, k3 = jax.random.split(key, 3)
+            # propagate + additive process noise
+            prop = jax.vmap(lambda s: core(s, jnp.zeros(nz, s.dtype), u, p, t, h)[0])
+            parts_pr = prop(parts)
+            noise = jax.random.multivariate_normal(
+                k1, jnp.zeros(nx, parts.dtype), Q, (n_part,), method="svd")
+            parts_pr = parts_pr + noise
+            # likelihood weights
+            ysig = jax.vmap(lambda s: jnp.atleast_1d(
+                meas(s, jnp.zeros(nz, s.dtype), u, p, t + h)))(parts_pr)
+            innov = y[None, :] - ysig
+            Rinv = jnp.linalg.inv(R)
+            logw = -0.5 * jnp.einsum("mi,ij,mj->m", innov, Rinv, innov)
+            logw = logw - jnp.max(logw)
+            w = jnp.exp(logw)
+            w = w / jnp.sum(w)
+            x_est = jnp.einsum("m,mn->n", w, parts_pr)
+            y_est = jnp.einsum("m,mn->n", w, ysig)
+            # systematic resampling
+            edges = jnp.cumsum(w)
+            offset = jax.random.uniform(k2, (), parts.dtype) / n_part
+            pts = offset + jnp.arange(n_part, dtype=parts.dtype) / n_part
+            idx = jnp.searchsorted(edges, pts)
+            idx = jnp.clip(idx, 0, n_part - 1)
+            parts_new = parts_pr[idx]
+            if rough:
+                spread = (jnp.max(parts_new, axis=0) - jnp.min(parts_new, axis=0))
+                sig = tune * spread * n_part ** (-1.0 / nx)
+                parts_new = parts_new + sig[None, :] * jax.random.normal(
+                    k3, (n_part, nx), parts.dtype)
+            return k3, parts_new, x_est, y_est
+
+        self._step = step
+        self._step_jit = jax.jit(step)
+        self._key = jax.random.PRNGKey(self._seed)
+        self._register_solution()
+        self._time = 0.0
+        self._setup_done = True
+        return self
+
+    def step_fn(self):
+        if not self._setup_done:
+            raise RuntimeError("call setup() first")
+        return self._step
+
+    def set_initial_guess(self, x0, P0=None):
+        super().set_initial_guess(x0, P0)
+        if self._setup_done:
+            self._init_particles()
+        return self
+
+    def _init_particles(self):
+        self._particles = lhsnorm(self._x0, self._P0, self.n_particles,
+                                  seed=self._seed)
+
+    def estimate(self, y, u=None, p=None):
+        if not self._setup_done:
+            raise RuntimeError("call setup() first")
+        if self._x0 is None:
+            raise ValueError("call set_initial_guess(x0) first")
+        if self._particles is None:
+            self._init_particles()
+        y = np.atleast_2d(np.asarray(y, dtype=float))
+        if y.shape[1] != self.n_y:
+            y = y.T
+        steps = y.shape[0]
+        if u is None:
+            u = np.zeros((steps, self.n_u))
+        else:
+            u = np.atleast_2d(np.asarray(u, dtype=float))
+            if u.shape[0] == 1:
+                u = np.tile(u, (steps, 1))
+            if u.shape[1] != self.n_u and u.shape[0] == self.n_u:
+                u = u.T
+        p_vec = self._p_or_default(p)
+        parts = jnp.asarray(self._particles)
+        x_est = None
+        for k in range(steps):
+            self._key, parts, x_est, y_est = self._step_jit(
+                self._key, parts, jnp.asarray(u[k]), jnp.asarray(p_vec),
+                jnp.asarray(y[k]), self._time)
+            self._time += self._dt
+            P = np.cov(np.asarray(parts).T).reshape(self.n_x, self.n_x)
+            self.solution.append(self._time, x=np.asarray(x_est),
+                                 y=np.asarray(y_est), P=P.ravel())
+        self._particles = np.asarray(parts)
+        return np.asarray(x_est)
+
+    @property
+    def particles(self):
+        return None if self._particles is None else np.array(self._particles)

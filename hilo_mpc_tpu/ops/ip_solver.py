@@ -274,46 +274,58 @@ def solve_ocp(
         converged: jnp.ndarray
         diverged: jnp.ndarray
 
-    def kkt_error(X, U, lam, s, z, sN, zN, mu):
+    def linearize(X, U):
+        """One full linearization of dynamics/costs/constraints along the horizon —
+        shared by the convergence test and the Newton step (the expensive part)."""
         F, A, B = jax.vmap(dyn_lin)(X[:-1], U, theta[:-1])
-        gx, gu, *_ = jax.vmap(cost_terms)(X[:-1], U, theta[:-1])
-        gN, _ = term_terms(X[-1])
+        gx, gu, Hxx, Hux, Huu = jax.vmap(cost_terms)(X[:-1], U, theta[:-1])
+        gN, HN = term_terms(X[-1])
         c = stage_c(X, U)
         cN = term_c(X)
         Cx, Cu = jax.vmap(stage_c_jac)(X[:-1], U, theta[:-1], lbx_c, ubx_c,
                                        lbu_c, ubu_c, mask)
         CxN = term_c_jac(X[-1])
+        return (F, A, B, gx, gu, Hxx, Hux, Huu, gN, HN, c, cN, Cx, Cu, CxN)
+
+    def kkt_errors(lin, X, lam, s, z, sN, zN, mu):
+        """(err at mu=0, err at current mu) from an existing linearization."""
+        F, A, B, gx, gu, _, _, _, gN, _, c, cN, Cx, Cu, CxN = lin
         zm = z * mask_f
         zNm = zN * maskN_f
         # stationarity w.r.t. x_k (k=1..N-1): gx_k + A_kᵀlam_k - lam_{k-1} + Cxᵀz
         r_x = (gx + jnp.einsum("kij,ki->kj", A, lam)
                + jnp.einsum("kij,ki->kj", Cx, zm))
         r_x = r_x.at[1:].add(-lam[:-1])
-        r_x_tail = r_x[1:]  # x_0 fixed -> its stationarity row excluded when fix_x0
         r_xN = gN - lam[-1] + CxN.T @ zNm
         r_u = (gu + jnp.einsum("kij,ki->kj", B, lam)
                + jnp.einsum("kij,ki->kj", Cu, zm))
         r_dyn = F - X[1:]
         r_ineq = (c + s) * mask_f
         r_ineqN = (cN + sN) * maskN_f
-        r_comp = (s * z - mu) * mask_f
-        r_compN = (sN * zN - mu) * maskN_f
+        sz = s * z * mask_f
+        szN = sN * zN * maskN_f
         stat_terms = [jnp.max(jnp.abs(r_u)), jnp.max(jnp.abs(r_xN))]
         if not fix_x0:
             stat_terms.append(jnp.max(jnp.abs(r_x[0])))
         if N > 1:
-            stat_terms.append(jnp.max(jnp.abs(r_x_tail)))
+            stat_terms.append(jnp.max(jnp.abs(r_x[1:])))
         # scale stationarity like IPOPT's s_d to tolerate large multipliers
         s_d = jnp.maximum(1.0, (jnp.sum(jnp.abs(lam)) + jnp.sum(jnp.abs(zm))
                                 + jnp.sum(jnp.abs(zNm)))
-                          / (N * nx + N * m + mN)) / 1.0
+                          / (N * nx + N * m + mN))
         e_stat = jnp.max(jnp.stack(stat_terms)) / s_d
         e_feas = jnp.maximum(jnp.max(jnp.abs(r_dyn)),
                              jnp.maximum(jnp.max(jnp.abs(r_ineq), initial=0.0),
                                          jnp.max(jnp.abs(r_ineqN), initial=0.0)))
-        e_comp = jnp.maximum(jnp.max(jnp.abs(r_comp), initial=0.0),
-                             jnp.max(jnp.abs(r_compN), initial=0.0)) / s_d
-        return jnp.maximum(e_stat, jnp.maximum(e_feas, e_comp))
+
+        def comp_err(mu_val):
+            return jnp.maximum(
+                jnp.max(jnp.abs(sz - mu_val * mask_f), initial=0.0),
+                jnp.max(jnp.abs(szN - mu_val * maskN_f), initial=0.0)) / s_d
+
+        base = jnp.maximum(e_stat, e_feas)
+        return (jnp.maximum(base, comp_err(0.0)),
+                jnp.maximum(base, comp_err(mu)))
 
     def merit(X, U, s, sN, mu, nu_p):
         f = objective(X, U)
@@ -329,14 +341,18 @@ def solve_ocp(
             carry.X, carry.U, carry.lam, carry.s, carry.z, carry.sN, carry.zN,
             carry.mu, carry.nu_pen)
 
-        F, A, B = jax.vmap(dyn_lin)(X[:-1], U, theta[:-1])
-        gx, gu, Hxx, Hux, Huu = jax.vmap(cost_terms)(X[:-1], U, theta[:-1])
-        gN, HN = term_terms(X[-1])
-        c = stage_c(X, U)
-        cN = term_c(X)
-        Cx, Cu = jax.vmap(stage_c_jac)(X[:-1], U, theta[:-1], lbx_c, ubx_c,
-                                       lbu_c, ubu_c, mask)
-        CxN = term_c_jac(X[-1])
+        lin = linearize(X, U)
+        (F, A, B, gx, gu, Hxx, Hux, Huu, gN, HN, c, cN, Cx, Cu, CxN) = lin
+
+        # convergence / barrier bookkeeping on the CURRENT iterate, reusing this
+        # iteration's linearization (no extra jacobian passes)
+        err0, err_mu = kkt_errors(lin, X, lam, s, z, sN, zN, mu)
+        converged = err0 <= opt.tol
+        mu = jnp.where(
+            err_mu <= opt.kappa_eps * mu,
+            jnp.maximum(opt.tol / 10.0,
+                        jnp.minimum(opt.kappa_mu * mu, mu ** opt.theta_mu)),
+            mu)
 
         sigma = jnp.where(mask, z / s, 0.0)
         sigmaN = jnp.where(maskN, zN / sN, 0.0)
@@ -422,28 +438,16 @@ def solve_ocp(
 
         bad = ~(jnp.all(jnp.isfinite(X_new)) & jnp.all(jnp.isfinite(U_new))
                 & jnp.all(jnp.isfinite(z_new)))
-        X_new = jnp.where(bad, X, X_new)
-        U_new = jnp.where(bad, U, U_new)
-        s_new = jnp.where(bad, s, s_new)
-        z_new = jnp.where(bad, z, z_new)
-        sN_new = jnp.where(bad, sN, sN_new)
-        zN_new = jnp.where(bad, zN, zN_new)
-        lam_new = jnp.where(bad, lam, lam_new)
+        # no update when the current iterate already satisfies the KKT conditions
+        # (or the step produced NaNs)
+        keep = converged | bad
 
-        err_mu = kkt_error(X_new, U_new, lam_new, s_new, z_new, sN_new, zN_new, mu)
-        # monotone barrier reduction once the barrier subproblem is solved
-        shrink = err_mu <= opt.kappa_eps * mu
-        mu_new = jnp.where(
-            shrink,
-            jnp.maximum(opt.tol / 10.0,
-                        jnp.minimum(opt.kappa_mu * mu, mu ** opt.theta_mu)),
-            mu)
-        err0 = kkt_error(X_new, U_new, lam_new, s_new, z_new, sN_new, zN_new,
-                         jnp.zeros((), dtype))
-        converged = err0 <= opt.tol
+        def sel(a, b):
+            return jnp.where(keep, a, b)
 
-        return Carry(X=X_new, U=U_new, lam=lam_new, s=s_new, z=z_new, sN=sN_new,
-                     zN=zN_new, mu=mu_new, nu_pen=nu_new, kkt=err0,
+        return Carry(X=sel(X, X_new), U=sel(U, U_new), lam=sel(lam, lam_new),
+                     s=sel(s, s_new), z=sel(z, z_new), sN=sel(sN, sN_new),
+                     zN=sel(zN, zN_new), mu=mu, nu_pen=nu_new, kkt=err0,
                      it=carry.it + 1, converged=converged,
                      diverged=carry.diverged | bad)
 

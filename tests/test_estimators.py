@@ -1,0 +1,186 @@
+"""KF/EKF/UKF/PF/MHE tests (reference tiers: tests/test_KFs.py, test_PFs.py,
+test_MHE.py — construction/validation + estimation convergence)."""
+import numpy as np
+import pytest
+
+from hilo_mpc_tpu import EKF, KF, MHE, PF, UKF, Model
+
+
+def linear_model():
+    m = Model()
+    m.set_state_space(A=[[0.0, 1.0], [-2.0, -0.8]], B=[[0.0], [1.0]],
+                      C=[[1.0, 0.0]])
+    return m
+
+
+def pendulum():
+    import jax.numpy as jnp
+
+    m = Model(name="pend")
+    m.set_dynamical_states(["th", "om"])
+    m.set_inputs("tau")
+    m.set_measurements(["y_th"])
+    m.set_dynamical_equations(
+        lambda x, u: jnp.array([x[1], -jnp.sin(x[0]) - 0.3 * x[1] + u[0]]))
+    m.set_measurement_equations(lambda x: x[:1])
+    return m
+
+
+def simulate_noisy(model, x0, steps, dt=0.05, meas_std=0.01, seed=0, u_mag=0.2):
+    rng = np.random.default_rng(seed)
+    model.setup(dt=dt, integration_method="rk4")
+    model.set_initial_conditions(x0)
+    U = u_mag * np.sin(np.linspace(0, 4, steps))[:, None]
+    out = model.simulate(u=U, steps=steps)
+    Y = out["y"] + meas_std * rng.standard_normal(out["y"].shape)
+    return out["x"], U, Y
+
+
+class TestConstruction:
+    def test_kf_requires_linear(self):
+        with pytest.raises(ValueError, match="linear"):
+            KF(pendulum())
+
+    def test_cov_setters_validate(self):
+        kf = KF(linear_model())
+        with pytest.raises(ValueError):
+            kf.Q = np.ones((3, 3))
+        with pytest.raises(ValueError):
+            kf.R = [[1.0, 0.5], [0.4, 1.0]]  # not symmetric
+
+    def test_ukf_params_validate(self):
+        ukf = UKF(pendulum())
+        with pytest.raises(ValueError):
+            ukf.alpha = 2.0
+        with pytest.raises(ValueError):
+            ukf.kappa = -1.0
+
+    def test_estimate_before_setup(self):
+        with pytest.raises(RuntimeError):
+            EKF(pendulum()).estimate(np.zeros(1))
+
+    def test_pf_particle_count(self):
+        with pytest.raises(ValueError):
+            PF(pendulum(), n_particles=0)
+
+
+class TestKalman:
+    @pytest.mark.parametrize("cls", [EKF, UKF])
+    def test_pendulum_state_reconstruction(self, cls):
+        plant = pendulum()
+        X, U, Y = simulate_noisy(plant, [0.5, 0.0], steps=80)
+        est = cls(pendulum())
+        est.Q = 1e-5
+        est.R = 1e-4
+        est.setup(dt=0.05)
+        est.set_initial_guess([0.3, 0.2], P0=np.eye(2) * 0.3)
+        x_hat = est.estimate(Y, u=U)
+        err = np.abs(x_hat - X[-1])
+        assert err[0] < 0.02 and err[1] < 0.1
+
+    def test_kf_linear_matches_ekf(self):
+        plant = linear_model()
+        X, U, Y = simulate_noisy(plant, [1.0, 0.0], steps=40)
+        results = []
+        for cls in (KF, EKF):
+            est = cls(linear_model())
+            est.Q = 1e-5
+            est.R = 1e-4
+            est.setup(dt=0.05)
+            est.set_initial_guess([0.5, 0.5], P0=np.eye(2))
+            results.append(est.estimate(Y, u=U))
+        np.testing.assert_allclose(results[0], results[1], atol=1e-10)
+
+    def test_covariance_stays_psd(self):
+        est = EKF(pendulum())
+        est.setup(dt=0.05)
+        est.set_initial_guess([0.0, 0.0])
+        est.estimate(np.zeros((20, 1)))
+        P = est._P
+        assert np.all(np.linalg.eigvalsh(P) > -1e-12)
+
+
+class TestParticleFilter:
+    def test_pendulum_tracking(self):
+        plant = pendulum()
+        X, U, Y = simulate_noisy(plant, [0.5, 0.0], steps=60, meas_std=0.02)
+        pf = PF(pendulum(), n_particles=400, seed=1)
+        pf.Q = 1e-4
+        pf.R = 4e-4
+        pf.setup(dt=0.05)
+        pf.set_initial_guess([0.4, 0.1], P0=np.eye(2) * 0.1)
+        x_hat = pf.estimate(Y, u=U)
+        assert np.abs(x_hat[0] - X[-1, 0]) < 0.05
+
+    def test_lhs_sampling_stats(self):
+        from hilo_mpc_tpu.estimation.pf import lhsnorm
+
+        S = lhsnorm([1.0, -2.0], np.diag([0.04, 0.09]), 2000, seed=0)
+        np.testing.assert_allclose(S.mean(axis=0), [1.0, -2.0], atol=0.02)
+        np.testing.assert_allclose(S.std(axis=0), [0.2, 0.3], atol=0.02)
+
+
+class TestMHE:
+    def test_window_buffering(self):
+        mhe = MHE(pendulum())
+        mhe.horizon = 5
+        mhe.setup(dt=0.05)
+        mhe.set_initial_guess([0.0, 0.0])
+        for k in range(5):
+            assert mhe.estimate(y=[0.1], u=[0.0]) is None
+        assert mhe.estimate(y=[0.1], u=[0.0]) is not None
+
+    def test_state_reconstruction(self):
+        plant = pendulum()
+        X, U, Y = simulate_noisy(plant, [0.5, 0.0], steps=40, meas_std=0.005)
+        mhe = MHE(pendulum())
+        mhe.horizon = 10
+        mhe.Q = 1e-5
+        mhe.R = 1e-4
+        mhe.P0 = np.eye(2) * 0.2
+        mhe.setup(dt=0.05)
+        mhe.set_initial_guess([0.3, 0.2])
+        x_hat = None
+        for k in range(40):
+            res = mhe.estimate(y=Y[k], u=U[k])
+            if res is not None:
+                x_hat = res
+        assert x_hat is not None
+        assert mhe.stats["converged"]
+        err = np.abs(x_hat - X[-1])
+        assert err[0] < 0.02 and err[1] < 0.1
+
+    def test_parameter_estimation(self):
+        # estimate the damping coefficient of a decay model
+        import jax.numpy as jnp
+
+        plant = Model()
+        plant.set_dynamical_states("x")
+        plant.set_parameters("a")
+        plant.set_dynamical_equations(lambda x, p: -p[0] * x)
+        plant.setup(dt=0.1, integration_method="rk4")
+        plant.set_initial_conditions([2.0])
+        plant.set_initial_parameter_values([0.7])
+        out = plant.simulate(steps=30)
+        Y = out["x"]  # full-state measurement
+
+        est_model = Model()
+        est_model.set_dynamical_states("x")
+        est_model.set_parameters("a")
+        est_model.set_dynamical_equations(lambda x, p: -p[0] * x)
+        mhe = MHE(est_model)
+        mhe.horizon = 10
+        mhe.Q = 1e-6
+        mhe.R = 1e-6
+        mhe.P0 = np.eye(1) * 10.0
+        mhe.set_estimated_parameters(["a"], guess=[0.3],
+                                     arrival_weight=[[1e-2]])
+        mhe.setup(dt=0.1)
+        mhe.set_initial_guess([2.0])
+        p_hat = None
+        for k in range(30):
+            res = mhe.estimate(y=Y[k])
+            if res is not None:
+                _, p_hat = res
+        assert p_hat is not None
+        assert abs(p_hat[0] - 0.7) < 0.02
