@@ -464,6 +464,21 @@ class NMPC:
             solve_ocp, funcs, dims, options=ip_opts, fix_x0=True))
         self._solve_batch_jit = None
 
+        # jitted cold-start rollout (a Python-loop rollout would dispatch N eager
+        # ops per scenario — ruinous on remote-compile backends)
+        def _rollout_guess(xs0, theta_arr, U_arr):
+            def body(xk, inp):
+                uk, thk = inp
+                xn = dyn(xk, uk, thk)
+                return xn, xn
+
+            _, X_tail = jax.lax.scan(body, xs0, (U_arr, theta_arr[:-1]))
+            return jnp.concatenate([xs0[None], X_tail], axis=0)
+
+        self._rollout_guess_jit = jax.jit(_rollout_guess)
+        self._rollout_guess_batch_jit = jax.jit(jax.vmap(
+            _rollout_guess, in_axes=(0, None, None)))
+
         self.solution = TimeSeries(model.time_unit)
         self.solution.register("x", model.dynamical_states)
         self.solution.register("u", model.inputs)
@@ -577,12 +592,10 @@ class NMPC:
             Xg = np.tile(self._solver_x0(self._x_guess)[None, :], (N + 1, 1))
             Xg[0] = xs0
             return Xg, U
-        dyn = self._funcs.dyn
-        X = [jnp.asarray(xs0, self._solver_dtype)]
-        thetas = jnp.asarray(theta, self._solver_dtype)
-        for k in range(N):
-            X.append(dyn(X[-1], jnp.asarray(U[k], self._solver_dtype), thetas[k]))
-        X = np.asarray(jnp.stack(X))
+        dtype = self._solver_dtype
+        X = np.asarray(self._rollout_guess_jit(
+            jnp.asarray(xs0, dtype), jnp.asarray(theta, dtype),
+            jnp.asarray(U, dtype)))
         X = np.nan_to_num(X, nan=0.0, posinf=1e3, neginf=-1e3)
         return X, U
 
@@ -671,23 +684,36 @@ class NMPC:
 
         return jax.jit(solve_many)
 
-    def optimize_batch(self, x0_batch, cp=None, tvp=None, ref=None):
-        """Solve B independent MPC problems at once; returns (B, n_u) first moves."""
-        if self._solve_batch_jit is None:
-            self._solve_batch_jit = self.solve_batch_fn()
+    def prepare_batch(self, x0_batch, cp=None, tvp=None, ref=None):
+        """Vectorized solver inputs for B scenarios:
+        (theta_B, xs0_B, X_init_B, U_init_B), cold-started via one jitted rollout."""
         x0_batch = np.atleast_2d(np.asarray(x0_batch, dtype=float))
         B = x0_batch.shape[0]
         theta = self._assemble_theta(cp, tvp, ref)
         dtype = self._solver_dtype
-        xs0 = np.stack([self._solver_x0(x0_batch[i]) for i in range(B)])
-        Xs, Us = [], []
-        for i in range(B):
-            Xi, Ui = self._initial_trajectory(xs0[i], theta)
-            Xs.append(Xi); Us.append(Ui)
+        N, nus = self._dims.N, self._dims.nu
+        xs0 = np.asarray([self._solver_x0(x0_batch[i]) for i in range(B)])
+        if self._augment_du:
+            U = np.zeros((N, nus))
+        else:
+            U = np.tile(np.concatenate(
+                [self._u_guess / self._u_scaling,
+                 np.zeros(1 if self._path_following else 0)]), (N, 1))
+        X_B = np.asarray(self._rollout_guess_batch_jit(
+            jnp.asarray(xs0, dtype), jnp.asarray(theta, dtype),
+            jnp.asarray(U, dtype)))
+        X_B = np.nan_to_num(X_B, nan=0.0, posinf=1e3, neginf=-1e3)
+        U_B = np.tile(U[None], (B, 1, 1))
         theta_B = np.tile(theta[None], (B, 1, 1))
-        sol = self._solve_batch_jit(
-            jnp.asarray(theta_B, dtype), jnp.asarray(xs0, dtype),
-            jnp.asarray(np.stack(Xs), dtype), jnp.asarray(np.stack(Us), dtype))
+        return (jnp.asarray(theta_B, dtype), jnp.asarray(xs0, dtype),
+                jnp.asarray(X_B, dtype), jnp.asarray(U_B, dtype))
+
+    def optimize_batch(self, x0_batch, cp=None, tvp=None, ref=None):
+        """Solve B independent MPC problems at once; returns (B, n_u) first moves."""
+        if self._solve_batch_jit is None:
+            self._solve_batch_jit = self.solve_batch_fn()
+        args = self.prepare_batch(x0_batch, cp, tvp, ref)
+        sol = self._solve_batch_jit(*args)
         nx, nu = self._model.n_x, self._model.n_u
         X = np.asarray(sol.X)
         if self._augment_du:

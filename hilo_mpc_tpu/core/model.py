@@ -666,6 +666,13 @@ class Model:
         from ..ml.hybrid import hybridize
         return hybridize(self, other)
 
+    def substitute_from(self, learned):
+        """Replace parameters named by the learned component's labels with its
+        predictions (reference: dynamic_model.py:3040 substitute_from)."""
+        from ..ml.hybrid import substitute_from as _sub
+        _sub(self, learned)
+        return self
+
     # -- misc -----------------------------------------------------------------
     def copy(self, name: Optional[str] = None, keep_solution: bool = False) -> "Model":
         new = _copy.copy(self)

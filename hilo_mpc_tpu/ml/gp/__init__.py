@@ -1,0 +1,8 @@
+from .gp import GaussianProcess, GPArray
+from .kernels import (ConstantKernel, DotProductKernel, ExponentialKernel,
+                      GammaExponentialKernel, Kernel, LinearKernel, Matern32Kernel,
+                      Matern52Kernel, MaternKernel, NeuralNetworkKernel,
+                      PeriodicKernel, PiecewisePolynomialKernel, PolynomialKernel,
+                      RationalQuadraticKernel, SquaredExponentialKernel)
+from .means import (ConstantMean, LinearMean, Mean, OneMean, PolynomialMean,
+                    ZeroMean)

@@ -1,0 +1,286 @@
+"""Gaussian process regression with exact inference and hyperparameter fitting.
+
+TPU-native rebuild of the reference's GaussianProcess/GPArray (reference: hilo_mpc/
+modules/machine_learning/gp/gp.py:80-1008). The reference builds the posterior as
+CasADi SX and fits with IPOPT or a SciPy fallback (gp.py:609-634); here the negative
+log marginal likelihood is a pure JAX function over unconstrained (log-space)
+hyperparameters, fitted by L-BFGS-B (scipy, gradients from jax) or Adam (optax) —
+and `predict_fn()` returns a traceable function so a fitted GP embeds directly into
+MPC stage costs, SMPC surrogates, and hybrid models (no symbolic substitution layer
+needed).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hyperparameters import Hyperparameter
+from .inference import ExactInference
+from .kernels import Kernel, SquaredExponentialKernel
+from .means import Mean, ZeroMean
+
+
+class GaussianProcess:
+    def __init__(self, features: Union[str, List[str]],
+                 labels: Union[str, List[str]],
+                 kernel: Optional[Kernel] = None,
+                 mean: Optional[Mean] = None,
+                 noise_variance: float = 1e-6,
+                 inference: str = "exact",
+                 likelihood: str = "gaussian",
+                 solver: str = "scipy",
+                 id: Optional[str] = None, name: Optional[str] = None):
+        self.features = [features] if isinstance(features, str) else list(features)
+        labels = [labels] if isinstance(labels, str) else list(labels)
+        if len(labels) != 1:
+            raise ValueError("one GP handles one output; use GPArray for "
+                             "multi-output regression")
+        self.labels = labels
+        self.kernel = kernel if kernel is not None else SquaredExponentialKernel(
+            length_scales=np.ones(len(self.features)))
+        self.mean = mean if mean is not None else ZeroMean()
+        if inference not in ("exact", "ExactInference"):
+            raise NotImplementedError(
+                "only exact inference is implemented (matches the reference's "
+                "supported set)")
+        if likelihood.lower() not in ("gaussian", "normal"):
+            raise NotImplementedError("only Gaussian likelihood is implemented")
+        self.noise_variance = Hyperparameter("GP.noise_variance",
+                                             value=noise_variance, positive=True)
+        self.solver = solver
+        self.name = name or "gp"
+        self.X_train: Optional[np.ndarray] = None   # (n, d)
+        self.y_train: Optional[np.ndarray] = None   # (n,)
+        self._state = None   # (L, alpha) posterior cache
+        self._setup_done = False
+
+    # -- data ----------------------------------------------------------------
+    def set_training_data(self, X, y):
+        X = np.asarray(X, dtype=float)
+        y = np.asarray(y, dtype=float)
+        d = len(self.features)
+        if X.ndim == 1:
+            X = X[:, None] if d == 1 else X[None, :]
+        # accept the reference's (d, n) column layout as well as (n, d)
+        if X.shape[1] != d and X.shape[0] == d:
+            X = X.T
+        if X.shape[1] != d:
+            raise ValueError(f"X has {X.shape[1]} features, expected {d}")
+        y = y.ravel()
+        if y.size != X.shape[0]:
+            raise ValueError(f"{X.shape[0]} samples but {y.size} labels")
+        self.X_train, self.y_train = X, y
+        self._state = None
+        return self
+
+    @property
+    def n_samples(self):
+        return 0 if self.X_train is None else self.X_train.shape[0]
+
+    # -- hyperparameters ------------------------------------------------------
+    @property
+    def hyperparameters(self) -> List[Hyperparameter]:
+        return (self.kernel.hyperparameters + self.mean.hyperparameters
+                + [self.noise_variance])
+
+    def _params(self) -> Dict[str, jnp.ndarray]:
+        return {hp.name: (jnp.squeeze(jnp.asarray(hp.value)) if hp.size == 1
+                          else jnp.asarray(hp.value))
+                for hp in self.hyperparameters}
+
+    def _pack(self):
+        """Trainable hyperparameters -> flat unconstrained vector + bounds."""
+        w0, specs, bounds = [], [], []
+        for hp in self.hyperparameters:
+            if hp.fixed:
+                continue
+            w = hp.to_unconstrained().ravel()
+            specs.append((hp, len(w)))
+            w0.append(w)
+            if hp.bounds is not None:
+                lb, ub = hp.bounds
+                lb = np.log(lb) if hp.positive else lb
+                ub = np.log(ub) if hp.positive else ub
+                bounds += [(lb, ub)] * len(w)
+            else:
+                bounds += [(None, None)] * len(w)
+        return (np.concatenate(w0) if w0 else np.zeros(0)), specs, bounds
+
+    def _unpack(self, w, specs):
+        params = self._params()
+        off = 0
+        for hp, n in specs:
+            val = w[off:off + n]
+            off += n
+            val = jnp.exp(val) if hp.positive else val
+            params[hp.name] = (jnp.squeeze(val) if hp.size == 1
+                               else val.reshape(np.shape(hp.value)))
+        return params
+
+    # -- objective -------------------------------------------------------------
+    def _nll(self, params):
+        X = jnp.asarray(self.X_train)
+        y = jnp.asarray(self.y_train)
+        sn2 = jnp.squeeze(params[self.noise_variance.name])
+        lml = ExactInference.log_marginal_likelihood(
+            self.kernel, self.mean, params, X, y, sn2)
+        logp = 0.0
+        for hp in self.hyperparameters:
+            if hp.prior is not None:
+                logp = logp + hp.log_prior(params[hp.name])
+        return -(lml + logp)
+
+    @property
+    def log_marginal_likelihood(self) -> float:
+        return float(-self._nll(self._params()))
+
+    # -- setup / fit -----------------------------------------------------------
+    def setup(self):
+        if self.X_train is None:
+            raise RuntimeError("call set_training_data(X, y) first")
+        self._refresh_state()
+        self._setup_done = True
+        return self
+
+    def _refresh_state(self):
+        params = self._params()
+        sn2 = float(np.squeeze(self.noise_variance.value))
+        L, alpha, _ = ExactInference.posterior_state(
+            self.kernel, self.mean, params, jnp.asarray(self.X_train),
+            jnp.asarray(self.y_train), sn2)
+        self._state = (np.asarray(L), np.asarray(alpha))
+
+    def is_setup(self):
+        return self._setup_done
+
+    def fit_model(self, solver: Optional[str] = None, max_iter: int = 200,
+                  learning_rate: float = 5e-2):
+        """Maximize the (prior-weighted) log marginal likelihood."""
+        if self.X_train is None:
+            raise RuntimeError("call set_training_data(X, y) first")
+        solver = solver or self.solver
+        w0, specs, bounds = self._pack()
+        if w0.size == 0:
+            self._refresh_state()
+            return self
+
+        obj = jax.jit(lambda w: self._nll(self._unpack(w, specs)))
+        grad = jax.jit(jax.grad(lambda w: self._nll(self._unpack(w, specs))))
+
+        if solver in ("scipy", "lbfgs", "ipopt"):
+            # 'ipopt' maps to L-BFGS-B: same quasi-Newton accuracy class, and the
+            # reference itself falls back to SciPy (util/optimizer.py:145)
+            from scipy.optimize import minimize
+
+            res = minimize(
+                lambda w: np.asarray(obj(jnp.asarray(w)), dtype=float),
+                w0, jac=lambda w: np.asarray(grad(jnp.asarray(w)), dtype=float),
+                method="L-BFGS-B", bounds=bounds,
+                options={"maxiter": max_iter})
+            w_best = res.x
+        elif solver == "adam":
+            import optax
+
+            tx = optax.adam(learning_rate)
+            w = jnp.asarray(w0)
+            state = tx.init(w)
+            for _ in range(max_iter):
+                g = grad(w)
+                updates, state = tx.update(g, state)
+                w = optax.apply_updates(w, updates)
+            w_best = np.asarray(w)
+        else:
+            raise ValueError(f"unknown solver {solver!r} (scipy | adam)")
+
+        params = self._unpack(jnp.asarray(w_best), specs)
+        for hp, _ in specs:
+            hp.value = np.asarray(params[hp.name])
+        self._refresh_state()
+        self._setup_done = True
+        return self
+
+    # -- prediction -------------------------------------------------------------
+    def predict_fn(self, include_noise: bool = False):
+        """Pure (mu, var) = f(x) for a single query point — traceable, so it can be
+        called inside jitted MPC graphs (the analogue of the reference's symbolic
+        predict, gp.py:699-718)."""
+        if self._state is None:
+            self._refresh_state()
+        L, alpha = self._state
+        params = self._params()
+        X = jnp.asarray(self.X_train)
+        sn2 = float(np.squeeze(self.noise_variance.value))
+        kernel, mean = self.kernel, self.mean
+
+        def fn(x_star):
+            x_star = jnp.atleast_1d(x_star)
+            return ExactInference.predict(
+                kernel, mean, params, X, jnp.asarray(L), jnp.asarray(alpha),
+                x_star, sn2, include_noise=include_noise)
+
+        return fn
+
+    def predict(self, X_query, include_noise: bool = False):
+        """Numeric batch prediction: returns (means, variances)."""
+        fn = self.predict_fn(include_noise=include_noise)
+        Xq = np.asarray(X_query, dtype=float)
+        d = len(self.features)
+        if Xq.ndim == 1:
+            Xq = Xq[:, None] if d == 1 else Xq[None, :]
+        if Xq.shape[1] != d and Xq.shape[0] == d:
+            Xq = Xq.T
+        mu, var = jax.vmap(fn)(jnp.asarray(Xq))
+        return np.asarray(mu), np.asarray(var)
+
+    def predict_quantiles(self, X_query, quantiles=(0.025, 0.975)):
+        from scipy.stats import norm
+
+        mu, var = self.predict(X_query, include_noise=True)
+        std = np.sqrt(var)
+        return [mu + norm.ppf(q) * std for q in quantiles]
+
+    def __repr__(self):
+        return (f"GaussianProcess(features={self.features}, labels={self.labels}, "
+                f"kernel={self.kernel!r}, n={self.n_samples})")
+
+
+class GPArray:
+    """Array of independent single-output GPs (reference: gp.py:974-1008)."""
+
+    def __init__(self, n_gps: int):
+        if n_gps < 1:
+            raise ValueError("n_gps must be >= 1")
+        self._gps: List[Optional[GaussianProcess]] = [None] * int(n_gps)
+
+    def __len__(self):
+        return len(self._gps)
+
+    def __getitem__(self, i):
+        return self._gps[i]
+
+    def __setitem__(self, i, gp):
+        if not isinstance(gp, GaussianProcess):
+            raise TypeError("GPArray elements must be GaussianProcess instances")
+        self._gps[i] = gp
+
+    def __iter__(self):
+        return iter(self._gps)
+
+    def setup(self):
+        for gp in self._gps:
+            gp.setup()
+        return self
+
+    def fit_model(self, **kwargs):
+        for gp in self._gps:
+            gp.fit_model(**kwargs)
+        return self
+
+    def predict(self, X_query, **kwargs):
+        out = [gp.predict(X_query, **kwargs) for gp in self._gps]
+        means = np.stack([m for m, _ in out], axis=-1)
+        variances = np.stack([v for _, v in out], axis=-1)
+        return means, variances

@@ -172,6 +172,16 @@ def solve_ocp(
     fix_x0: bool = True,
 ) -> OCPSolution:
     """Solve one OCP instance. jit/vmap-compatible; all control flow is lax."""
+    # TPU MXU matmuls default to bf16 inputs; the Riccati/Newton arithmetic needs
+    # full f32 to reach 1e-4 KKT tolerances (measured: bf16 default -> 12% batch
+    # convergence, full f32 -> 100%)
+    with jax.default_matmul_precision("highest"):
+        return _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init,
+                               options, fix_x0)
+
+
+def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
+                    fix_x0) -> OCPSolution:
     nx, nu, N = dims.nx, dims.nu, dims.N
     m = 2 * nu + 2 * nx + dims.n_h
     mN = 2 * nx + dims.n_hN

@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4(e): fake-cluster tier the reference lacks)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hilo_mpc_tpu import NMPC
+from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
+from hilo_mpc_tpu.parallel import (convergence_stats, make_mesh, replicate,
+                                   shard_batch, sharded_solve_fn)
+
+CSTR_P = [1.0] * 6
+
+
+def make_nmpc(N=8):
+    nmpc = NMPC(cstr_schaffner_and_zeitz())
+    nmpc.horizon = N
+    nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0], ref=[0.3, 0.18055])
+    nmpc.quad_stage_cost.add_inputs(weights=0.1)
+    nmpc.set_parameters(CSTR_P)
+    nmpc.setup(options={"dt": 0.1})
+    return nmpc
+
+
+class TestMesh:
+    def test_make_mesh_all_devices(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        assert mesh.axis_names == ("dp",)
+
+    def test_make_mesh_too_many_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(n_devices=10 ** 6)
+
+    def test_shard_batch_places_on_axis(self):
+        mesh = make_mesh(8)
+        x = shard_batch(jnp.zeros((16, 4)), mesh)
+        assert len(x.sharding.device_set) == 8
+
+    def test_replicate(self):
+        mesh = make_mesh(8)
+        x = replicate(jnp.zeros((4, 4)), mesh)
+        assert len(x.sharding.device_set) == 8
+
+
+class TestShardedSolve:
+    def test_sharded_matches_single_device(self):
+        nmpc = make_nmpc()
+        rng = np.random.default_rng(0)
+        B = 16
+        x0s = np.array([0.2, 0.1]) + 0.04 * rng.standard_normal((B, 2))
+        args = nmpc.prepare_batch(x0s)
+
+        mesh = make_mesh(8)
+        fn = sharded_solve_fn(nmpc, mesh)
+        sol_sharded = fn(*shard_batch(args, mesh))
+
+        u_single, sol_single = nmpc.optimize_batch(x0s)
+        np.testing.assert_allclose(np.asarray(sol_sharded.U),
+                                   np.asarray(sol_single.U), atol=1e-8)
+        stats = convergence_stats(sol_sharded)
+        assert stats["rate"] == 1.0
+
+    def test_dryrun_multichip_entrypoint(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)

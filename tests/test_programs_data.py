@@ -1,0 +1,132 @@
+"""Standalone LP/QP/NLP solver tests + DataSet/DataGenerator tests."""
+import numpy as np
+import pytest
+
+from hilo_mpc_tpu import LP, NLP, QP, Model
+from hilo_mpc_tpu.utils.data import DataGenerator, DataSet
+
+
+class TestNLP:
+    def test_unconstrained_quadratic(self):
+        nlp = NLP()
+        nlp.set_decision_variables(2)
+        nlp.set_objective(lambda x: (x[0] - 1.0) ** 2 + (x[1] + 2.0) ** 2)
+        sol = nlp.solve(x0=[0.0, 0.0])
+        assert sol["success"]
+        np.testing.assert_allclose(sol["x"], [1.0, -2.0], atol=1e-6)
+
+    def test_rosenbrock_bounded(self):
+        nlp = NLP()
+        nlp.set_decision_variables(2)
+        nlp.set_objective(lambda x: (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2)
+        sol = nlp.solve(x0=[-1.0, 1.0], lbx=[-5, -5], ubx=[5, 5])
+        assert sol["success"]
+        np.testing.assert_allclose(sol["x"], [1.0, 1.0], atol=1e-4)
+
+    def test_constrained_matches_scipy(self):
+        from scipy.optimize import minimize
+
+        nlp = NLP()
+        nlp.set_decision_variables(2)
+        nlp.set_objective(lambda x: x[0] ** 2 + x[1] ** 2)
+        nlp.set_constraints(lambda x: x[0] + x[1], lb=1.0, n=1)
+        sol = nlp.solve(x0=[1.0, 0.0])
+        res = minimize(lambda x: x @ x, [1.0, 0.0],
+                       constraints=[{"type": "ineq",
+                                     "fun": lambda x: x[0] + x[1] - 1}])
+        assert sol["success"]
+        np.testing.assert_allclose(sol["x"], res.x, atol=1e-5)
+
+    def test_missing_objective_raises(self):
+        nlp = NLP()
+        nlp.set_decision_variables(2)
+        with pytest.raises(RuntimeError, match="set_objective"):
+            nlp.setup()
+
+
+class TestQPLP:
+    def test_qp(self):
+        qp = QP()
+        qp.set_quadratic_objective(H=[[2.0, 0.0], [0.0, 2.0]], c=[-2.0, -4.0])
+        sol = qp.solve(lbx=[0, 0], ubx=[10, 10])
+        np.testing.assert_allclose(sol["x"], [1.0, 2.0], atol=1e-6)
+
+    def test_qp_with_linear_constraints(self):
+        qp = QP()
+        qp.set_quadratic_objective(H=np.eye(2), c=[0.0, 0.0])
+        qp.set_linear_constraints(A=[[1.0, 1.0]], lb=2.0)
+        sol = qp.solve(x0=[1.0, 1.0])
+        np.testing.assert_allclose(sol["x"], [1.0, 1.0], atol=1e-5)
+
+    def test_lp(self):
+        lp = LP()
+        lp.set_linear_objective([-1.0, -2.0])
+        lp.set_linear_constraints(A=[[1.0, 1.0]], ub=4.0)
+        sol = lp.solve(lbx=[0, 0], ubx=[3, 3])
+        assert sol["success"]
+        np.testing.assert_allclose(sol["x"], [1.0, 3.0], atol=1e-5)
+
+
+class TestDataSet:
+    def test_add_and_access(self):
+        ds = DataSet(["a", "b"], ["y"])
+        ds.add_data(np.ones((5, 2)), np.zeros((5, 1)))
+        assert ds.n_samples == 5
+        np.testing.assert_allclose(ds["a"], np.ones(5))
+
+    def test_dim_mismatch_raises(self):
+        ds = DataSet(["a"], ["y"])
+        with pytest.raises(ValueError):
+            ds.add_data(np.ones((5, 1)), np.zeros((4, 1)))
+
+    def test_split_and_noise(self):
+        ds = DataSet(["a"], ["y"])
+        ds.add_data(np.arange(10.0)[:, None], np.arange(10.0)[:, None])
+        (Xtr, ytr), (Xte, yte) = ds.train_test_split(test_fraction=0.3, seed=0)
+        assert Xtr.shape[0] == 7 and Xte.shape[0] == 3
+        before = ds.labels_values.copy()
+        ds.add_noise(std=0.1, seed=1)
+        assert not np.allclose(before, ds.labels_values)
+
+
+class TestDataGenerator:
+    def _model(self):
+        m = Model()
+        m.set_dynamical_states("x")
+        m.set_inputs("u")
+        m.set_dynamical_equations(lambda x, u: -x + u)
+        m.setup(dt=0.1, integration_method="rk4")
+        m.set_initial_conditions([0.0])
+        return m
+
+    def test_random_uniform_run(self):
+        gen = DataGenerator(self._model(), steps=50)
+        gen.random_uniform(lb=-1, ub=1, hold=5, seed=0)
+        ds = gen.run(output="absolute")
+        assert ds.n_samples == 50
+        assert ds.features == ["x", "u"]
+        # one-step consistency: y = x_{k+1}
+        x_next = ds.labels_values[:-1, 0]
+        x_feat = ds.features_values[1:, 0]
+        np.testing.assert_allclose(x_next, x_feat, atol=1e-6)
+
+    def test_difference_quotient(self):
+        gen = DataGenerator(self._model(), steps=20)
+        gen.chirp(amplitude=0.5, f0=0.05, f1=0.2)
+        ds = gen.run(output="difference_quotient")
+        # dq should approximate dx/dt = -x + u
+        x = ds.features_values[:, 0]
+        u = ds.features_values[:, 1]
+        dq = ds.labels_values[:, 0]
+        np.testing.assert_allclose(dq, -x + u, atol=0.06)
+
+    def test_requires_signal(self):
+        gen = DataGenerator(self._model(), steps=10)
+        with pytest.raises(RuntimeError, match="input signal"):
+            gen.run()
+
+    def test_closed_loop_excitation(self):
+        gen = DataGenerator(self._model(), steps=15, x0=[1.0])
+        gen.closed_loop(lambda x: -0.5 * x)
+        ds = gen.run(output="delta")
+        assert ds.n_samples == 15

@@ -1,0 +1,110 @@
+"""SMPC tests (reference tier: tests/test_SMPC.py:87-214 — surrogate construction +
+chance-constrained closed loop)."""
+import numpy as np
+import pytest
+
+from hilo_mpc_tpu import GP, Model, SMPC
+from hilo_mpc_tpu.control.smpc import chance_backoff
+
+
+def make_model():
+    import jax.numpy as jnp
+
+    m = Model(name="lin")
+    m.set_dynamical_states(["x1", "x2"])
+    m.set_inputs("u")
+    m.set_dynamical_equations(
+        lambda x, u: jnp.array([x[1], -0.5 * x[0] - 0.4 * x[1] + u[0]]))
+    return m
+
+
+def make_gp(seed=0, noise=0.02):
+    # GP models a small additive disturbance on x2 as a function of x1
+    rng = np.random.default_rng(seed)
+    X = np.linspace(-1.5, 1.5, 25)[:, None]
+    y = 0.05 * np.sin(2 * X[:, 0]) + noise * rng.standard_normal(25)
+    gp = GP(["x1"], ["d"], noise_variance=noise ** 2)
+    gp.set_training_data(X, y)
+    gp.setup()
+    return gp
+
+
+class TestChanceBackoff:
+    def test_values(self):
+        assert chance_backoff(0.5) == pytest.approx(0.0, abs=1e-12)
+        assert chance_backoff(0.9772498680518208) == pytest.approx(2.0, abs=1e-6)
+
+    def test_level_validation(self):
+        with pytest.raises(ValueError):
+            chance_backoff(0.3)
+        with pytest.raises(ValueError):
+            chance_backoff(1.0)
+
+
+class TestSMPC:
+    def test_unknown_gp_state_raises(self):
+        with pytest.raises(ValueError, match="not a model state"):
+            SMPC(make_model(), gps={"nope": make_gp()})
+
+    def test_surrogate_dimensions(self):
+        smpc = SMPC(make_model(), gps={"x2": make_gp()}, dt=0.1)
+        # 2 mean states + 4 covariance states
+        assert smpc._model.n_x == 6
+        assert smpc._model.dynamical_states[:2] == ["x1", "x2"]
+
+    def test_covariance_grows_then_solver_converges(self):
+        smpc = SMPC(make_model(), gps={"x2": make_gp()}, dt=0.1)
+        smpc.horizon = 10
+        smpc.quad_stage_cost.add_states(names=["x1", "x2"], weights=[5.0, 1.0])
+        smpc.quad_stage_cost.add_inputs(weights=0.1)
+        smpc.set_box_constraints(u_lb=-3.0, u_ub=3.0)
+        smpc.set_initial_covariance(np.zeros((2, 2)))
+        smpc.setup(options={"dt": 0.1})
+        u = smpc.optimize([1.0, 0.0])
+        assert smpc.stats["converged"]
+        pred = smpc.return_prediction()["x"]
+        # variance of x2 accumulates along the horizon
+        P22 = pred[:, 2 + 3]  # vec index (1,1) of P -> offset 2 + 1*2+1
+        assert P22[-1] > P22[1] >= 0.0
+
+    def test_chance_constraint_tightens(self):
+        def solve(with_chance):
+            smpc = SMPC(make_model(), gps={"x2": make_gp()}, dt=0.1)
+            smpc.horizon = 10
+            smpc.quad_stage_cost.add_states(names=["x1", "x2"],
+                                            weights=[5.0, 1.0], ref=[0.8, 0.0])
+            smpc.quad_stage_cost.add_inputs(weights=0.1)
+            smpc.set_box_constraints(u_lb=-3.0, u_ub=3.0)
+            if with_chance:
+                smpc.set_box_chance_constraints(x_ub=[0.9, np.inf], level=0.95)
+            else:
+                smpc.add_stage_constraint(lambda x: x[0], ub=0.9, n=1)
+            smpc.set_initial_covariance(np.eye(2) * 1e-4)
+            smpc.setup(options={"dt": 0.1})
+            smpc.optimize([0.5, 0.5])
+            assert smpc.stats["converged"], smpc.stats
+            return smpc.return_prediction()["x"][:, 0].max()
+
+        x_max_hard = solve(False)
+        x_max_chance = solve(True)
+        # back-off must keep the mean strictly farther from the bound
+        assert x_max_chance < x_max_hard
+        assert x_max_chance <= 0.9 + 1e-6
+
+    def test_feedback_gain_shrinks_covariance(self):
+        def final_var(K):
+            smpc = SMPC(make_model(), gps={"x2": make_gp()}, feedback_gain=K,
+                        dt=0.1)
+            smpc.horizon = 12
+            smpc.quad_stage_cost.add_states(names=["x1", "x2"],
+                                            weights=[5.0, 1.0])
+            smpc.quad_stage_cost.add_inputs(weights=0.1)
+            smpc.set_initial_covariance(np.zeros((2, 2)))
+            smpc.setup(options={"dt": 0.1})
+            smpc.optimize([1.0, 0.0])
+            pred = smpc.return_prediction()["x"]
+            return pred[-1, 2 + 3]
+
+        v_open = final_var(None)
+        v_closed = final_var(np.array([[1.5, 1.2]]))
+        assert v_closed < v_open
