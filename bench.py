@@ -19,8 +19,10 @@ def main():
     import __graft_entry__ as ge
 
     dev = jax.devices()[0]
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    # measured on v5e: B=256 -> 5.6k, 1024 -> 16.1k, 4096 -> 24.8k, 8192 -> 26.7k
+    # solves/s; default to the knee of the curve
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     nmpc = ge._build_nmpc(N=20, tol=1e-4, max_iter=25)
     import jax.numpy as jnp

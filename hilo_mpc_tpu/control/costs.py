@@ -198,11 +198,20 @@ class GenericConstraint:
             self.max_violation = np.broadcast_to(
                 np.asarray(self.max_violation, dtype=float), (self.n,)).copy()
 
+    def equality_rows(self) -> np.ndarray:
+        """Rows with lb == ub (handled as true equalities by the solver's
+        augmented-Lagrangian path, not as tight inequality bands)."""
+        if self.is_soft:
+            return np.zeros(self.n, bool)
+        both = np.isfinite(self.lb) & np.isfinite(self.ub)
+        return both & (np.abs(self.ub - self.lb) < 1e-9)
+
     def hard_rows(self):
         """Static description of the hard inequality rows this constraint adds."""
         if not self.is_soft:
-            ub_rows = np.isfinite(self.ub)
-            lb_rows = np.isfinite(self.lb)
+            eq = self.equality_rows()
+            ub_rows = np.isfinite(self.ub) & ~eq
+            lb_rows = np.isfinite(self.lb) & ~eq
             return ub_rows, lb_rows, self.ub, self.lb
         if self.max_violation is not None:
             ub_rows = np.isfinite(self.ub)

@@ -73,6 +73,8 @@ class NMPC:
 
         self._path_following = False
         self._path_u_bounds = (0.0, np.inf)
+        self._path_speed = None
+        self._min_time = None
 
         self._setup_done = False
         self._solver = None
@@ -198,11 +200,28 @@ class NMPC:
         self._terminal_constraints.append(con)
         return self
 
-    def create_path_variable(self, u_pf_lb: float = 0.0, u_pf_ub: float = np.inf):
+    def create_path_variable(self, u_pf_lb: float = 0.0, u_pf_ub: float = np.inf,
+                             speed_ref: Optional[float] = None,
+                             speed_weight: float = 1.0):
         """Enable path-following mode: augments the OCP with a path parameter state
-        theta and virtual path velocity input (reference: mpc.py:1025,1173-1204)."""
+        theta and virtual path velocity input (reference: mpc.py:1025,1173-1204).
+        ``speed_ref`` adds a (u_pf - speed_ref)^2 stage penalty rewarding progress
+        along the path."""
         self._path_following = True
         self._path_u_bounds = (float(u_pf_lb), float(u_pf_ub))
+        self._path_speed = (None if speed_ref is None
+                            else (float(speed_ref), float(speed_weight)))
+        return self
+
+    def minimize_final_time(self, weight: float = 1.0, dt_min: float = 1e-3,
+                            dt_max: Optional[float] = None):
+        """Minimum-time mode: the step length becomes a decision variable
+        (reference: minimize_final_time, mpc.py:859 — dt as decision + equality
+        chain). Implemented stagewise: a constant state tau carries dt, a virtual
+        control adjusts it at stage 0 only (bounds [0,0] elsewhere), and the
+        objective gains weight * sum_k dt_k = weight * T."""
+        self._min_time = {"weight": float(weight), "dt_min": float(dt_min),
+                          "dt_max": (np.inf if dt_max is None else float(dt_max))}
         return self
 
     # -- setup ----------------------------------------------------------------
@@ -238,8 +257,13 @@ class NMPC:
             self.quad_stage_cost.terms + self.quad_terminal_cost.terms)
         self._path_following = path
 
-        nxs = nx + (nu if self._augment_du else 0) + (1 if path else 0)
-        nus = nu + (1 if path else 0)
+        mt = self._min_time is not None
+        nxs = nx + (nu if self._augment_du else 0) + (1 if path else 0) \
+            + (1 if mt else 0)
+        nus = nu + (1 if path else 0) + (1 if mt else 0)
+        idx_upf = nu                      # virtual path-velocity control
+        idx_vtau = nu + (1 if path else 0)  # virtual dt-adjust control
+        idx_tau = nxs - 1                 # dt-carrying state (when mt)
 
         int_method = options.get("integration_method",
                                  "discrete" if model.discrete else "rk4")
@@ -273,7 +297,10 @@ class NMPC:
         def unpack(xs, us, theta):
             x = xs[:nx] * jnp.asarray(sx, xs.dtype)
             t = theta[0]
-            h = theta[1]
+            if mt:
+                h = xs[idx_tau] + us[idx_vtau]
+            else:
+                h = theta[1]
             p = theta[off_p:off_p + n_p]
             if aug:
                 u_prev = xs[nx:nx + nu] * jnp.asarray(su, xs.dtype)
@@ -293,7 +320,9 @@ class NMPC:
             if aug:
                 parts.append(u / jnp.asarray(su, xs.dtype))
             if path:
-                parts.append((th_path + h * us[-1])[None])
+                parts.append((th_path + h * us[idx_upf])[None])
+            if mt:
+                parts.append(h[None])
             return jnp.concatenate(parts)
 
         def quad_terms_cost(terms, ref_offset, x, u, du, p, t, th_path, theta):
@@ -351,9 +380,15 @@ class NMPC:
             c = c + soft_box_penalty(x)
             for con in soft_cons_s:
                 c = c + con.penalty(con.fn(x, u, p, t))
+            if path and self._path_speed is not None:
+                v_ref, w_pf = self._path_speed
+                c = c + w_pf * (us[idx_upf] - v_ref) ** 2
             # integrate stage cost over the sample interval like the reference's
             # quadrature-weighted collocation cost: multiply by dt for invariance
-            return c * h / self._dt
+            c = c * h / self._dt
+            if mt:
+                c = c + self._min_time["weight"] * h
+            return c
 
         def term_cost(xs, theta):
             x = xs[:nx] * jnp.asarray(sx, xs.dtype)
@@ -401,11 +436,43 @@ class NMPC:
                     rows.append(jnp.asarray(lb[lb_r], x.dtype) - g[np.where(lb_r)[0]])
             return jnp.concatenate(rows) if rows else jnp.zeros(0, xs.dtype)
 
-        dims = OCPDims(nx=nxs, nu=nus, N=N, n_h=n_h, n_hN=n_hN)
+        # equality rows (lb == ub) go through the solver's augmented-Lagrangian path
+        eq_s = [(c, c.equality_rows()) for c in self._stage_constraints
+                if c.equality_rows().any()]
+        eq_t = [(c, c.equality_rows()) for c in self._terminal_constraints
+                if c.equality_rows().any()]
+        n_e = sum(int(r.sum()) for _, r in eq_s)
+        n_eN = sum(int(r.sum()) for _, r in eq_t)
+
+        def stage_eq(xs, us, theta):
+            x, u, du, p, t, h, th_path = unpack(xs, us, theta)
+            rows = []
+            for con, r in eq_s:
+                g = con.fn(x, u, p, t)
+                sel = np.where(r)[0]
+                rows.append(g[sel] - jnp.asarray(con.ub[r], x.dtype))
+            return jnp.concatenate(rows)
+
+        def term_eq(xs, theta):
+            x = xs[:nx] * jnp.asarray(sx, xs.dtype)
+            p = theta[off_p:off_p + n_p]
+            t = theta[0]
+            u0 = jnp.zeros(nu, xs.dtype)
+            rows = []
+            for con, r in eq_t:
+                g = con.fn(x, u0, p, t)
+                sel = np.where(r)[0]
+                rows.append(g[sel] - jnp.asarray(con.ub[r], x.dtype))
+            return jnp.concatenate(rows)
+
+        dims = OCPDims(nx=nxs, nu=nus, N=N, n_h=n_h, n_hN=n_hN,
+                       n_e=n_e, n_eN=n_eN)
         funcs = OCPFunctions(
             dyn=dyn, stage_cost=stage_cost, term_cost=term_cost,
             stage_ineq=stage_ineq if n_h else None,
-            term_ineq=term_ineq if n_hN else None)
+            term_ineq=term_ineq if n_hN else None,
+            stage_eq=stage_eq if n_e else None,
+            term_eq=term_eq if n_eN else None)
 
         # --- bounds in solver (scaled, augmented) coordinates ---
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -428,6 +495,11 @@ class NMPC:
         if path:
             lbx = np.concatenate([lbx, np.zeros((N + 1, 1))], axis=1)
             ubx = np.concatenate([ubx, np.full((N + 1, 1), np.inf)], axis=1)
+        if mt:
+            lbx = np.concatenate(
+                [lbx, np.full((N + 1, 1), self._min_time["dt_min"])], axis=1)
+            ubx = np.concatenate(
+                [ubx, np.full((N + 1, 1), self._min_time["dt_max"])], axis=1)
 
         if aug:
             lbu = np.tile(self._du_lb / su, (N, 1))
@@ -443,6 +515,14 @@ class NMPC:
                                  axis=1)
             ubu = np.concatenate([ubu, np.full((N, 1), self._path_u_bounds[1])],
                                  axis=1)
+        if mt:
+            # dt adjusts only at stage 0; the tau state carries it down the horizon
+            v_lb = np.zeros((N, 1))
+            v_ub = np.zeros((N, 1))
+            v_lb[0] = self._min_time["dt_min"] - self._dt
+            v_ub[0] = self._min_time["dt_max"] - self._dt
+            lbu = np.concatenate([lbu, v_lb], axis=1)
+            ubu = np.concatenate([ubu, v_ub], axis=1)
 
         self._bounds = OCPBounds(
             lbx=jnp.asarray(lbx, dtype), ubx=jnp.asarray(ubx, dtype),
@@ -572,6 +652,8 @@ class NMPC:
             parts.append(self._u_old / self._u_scaling)
         if self._path_following:
             parts.append(np.array([self._theta_path0]))
+        if self._min_time is not None:
+            parts.append(np.array([self._dt]))
         return np.concatenate(parts)
 
     def _initial_trajectory(self, xs0, theta):
@@ -644,7 +726,11 @@ class NMPC:
         self._warm = (X, U)
         self._u_old = u0.copy()
         if self._path_following:
-            self._theta_path0 = float(X[1, -1])
+            idx_path = nx + (nu if self._augment_du else 0)
+            self._theta_path0 = float(X[1, idx_path])
+        if self._min_time is not None:
+            self.optimal_dt = float(X[-1, -1])
+            self.optimal_final_time = self.optimal_dt * self._horizon
         self.last_prediction = {
             "x": X[:, :nx] * self._x_scaling,
             "u": (X[1:, nx:nx + nu] * self._u_scaling if self._augment_du

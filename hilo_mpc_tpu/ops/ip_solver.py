@@ -41,6 +41,8 @@ class OCPFunctions(NamedTuple):
     term_cost: Callable              # lN(x, thetaN) -> scalar
     stage_ineq: Optional[Callable] = None   # h(x, u, theta) -> (n_h,)
     term_ineq: Optional[Callable] = None    # hN(x, thetaN) -> (n_hN,)
+    stage_eq: Optional[Callable] = None     # e(x, u, theta) -> (n_e,), e == 0
+    term_eq: Optional[Callable] = None      # eN(x, thetaN) -> (n_eN,), eN == 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +52,8 @@ class OCPDims:
     N: int
     n_h: int = 0
     n_hN: int = 0
+    n_e: int = 0
+    n_eN: int = 0
 
 
 class OCPBounds(NamedTuple):
@@ -86,6 +90,10 @@ class IPOptions:
     min_eig: float = 1e-6
     s_min: float = 1e-6          # slack floor at init
     early_exit: bool = True      # while_loop with convergence predicate
+    # equality constraints are handled by an augmented-Lagrangian term
+    # (tight two-sided bounds would choke the fraction-to-boundary rule)
+    rho_eq: float = 1e2          # initial AL penalty
+    rho_eq_max: float = 1e7
 
 
 class OCPSolution(NamedTuple):
@@ -129,10 +137,18 @@ def _term_ineq_fn(funcs: OCPFunctions, dims: OCPDims):
     return cN_fn
 
 
+def _pinned_controls(bounds: OCPBounds):
+    """Controls with lbu == ubu are fixed values, not barrier rows (a tight
+    two-sided bound would choke the fraction-to-boundary rule globally)."""
+    return (jnp.isfinite(bounds.ubu) & jnp.isfinite(bounds.lbu)
+            & (bounds.ubu - bounds.lbu < 1e-9))
+
+
 def _constraint_masks(bounds: OCPBounds, dims: OCPDims, fix_x0: bool):
     """Static validity masks for the padded inequality rows."""
-    m_u = jnp.isfinite(bounds.ubu)
-    m_lu = jnp.isfinite(bounds.lbu)
+    pinned = _pinned_controls(bounds)
+    m_u = jnp.isfinite(bounds.ubu) & ~pinned
+    m_lu = jnp.isfinite(bounds.lbu) & ~pinned
     m_x = jnp.isfinite(bounds.ubx[:-1])
     m_lx = jnp.isfinite(bounds.lbx[:-1])
     if fix_x0:
@@ -204,6 +220,14 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
     lbu_c, ubu_c = safe_b(bounds.lbu), safe_b(bounds.ubu)
     lbxN_c, ubxN_c = safe_b(bounds.lbx[-1]), safe_b(bounds.ubx[-1])
 
+    # pinned (equality-bounded) controls: removed from the barrier, held by a
+    # stiff quadratic in the Riccati blocks and excluded from the stationarity test
+    pin = _pinned_controls(bounds)
+    pin_f = pin.astype(dtype)
+    free_u_f = 1.0 - pin_f
+    pin_val = 0.5 * (lbu_c + ubu_c) * pin_f
+    w_pin = jnp.asarray(1e7 if dtype == jnp.float64 else 1e5, dtype)
+
     def stage_c(X, U):
         return jax.vmap(c_fn)(X[:-1], U, theta[:-1], lbx_c, ubx_c, lbu_c, ubu_c, mask)
 
@@ -226,10 +250,39 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         B = jax.jacfwd(funcs.dyn, argnums=1)(x, u, th)
         return F, A, B
 
-    def cost_terms(x, u, th):
-        gx = jax.grad(funcs.stage_cost, argnums=0)(x, u, th)
-        gu = jax.grad(funcs.stage_cost, argnums=1)(x, u, th)
-        H = jax.hessian(funcs.stage_cost, argnums=(0, 1))(x, u, th)
+    # equality constraints enter through augmented-Lagrangian terms on the costs
+    n_e, n_eN = dims.n_e, dims.n_eN
+    has_eq = funcs.stage_eq is not None and n_e > 0
+    has_eqN = funcs.term_eq is not None and n_eN > 0
+
+    def stage_cost_aug(x, u, th, y, rho):
+        c = funcs.stage_cost(x, u, th)
+        if has_eq:
+            h = funcs.stage_eq(x, u, th)
+            c = c + jnp.dot(y, h) + 0.5 * rho * jnp.dot(h, h)
+        return c
+
+    def term_cost_aug(x, yN, rho):
+        c = funcs.term_cost(x, theta[-1])
+        if has_eqN:
+            h = funcs.term_eq(x, theta[-1])
+            c = c + jnp.dot(yN, h) + 0.5 * rho * jnp.dot(h, h)
+        return c
+
+    def stage_eq_all(X, U):
+        if not has_eq:
+            return jnp.zeros((N, 0), dtype)
+        return jax.vmap(funcs.stage_eq)(X[:-1], U, theta[:-1])
+
+    def term_eq_val(X):
+        if not has_eqN:
+            return jnp.zeros(0, dtype)
+        return funcs.term_eq(X[-1], theta[-1])
+
+    def cost_terms(x, u, th, y, rho):
+        gx = jax.grad(stage_cost_aug, argnums=0)(x, u, th, y, rho)
+        gu = jax.grad(stage_cost_aug, argnums=1)(x, u, th, y, rho)
+        H = jax.hessian(stage_cost_aug, argnums=(0, 1))(x, u, th, y, rho)
         Hxx, Hxu = H[0]
         Hux, Huu = H[1]
         if opt.convexify:
@@ -239,9 +292,9 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
             Hux, Huu = M[nx:, :nx], M[nx:, nx:]
         return gx, gu, Hxx, Hux, Huu
 
-    def term_terms(x):
-        g = jax.grad(funcs.term_cost, argnums=0)(x, theta[-1])
-        H = jax.hessian(funcs.term_cost, argnums=0)(x, theta[-1])
+    def term_terms(x, yN, rho):
+        g = jax.grad(term_cost_aug, argnums=0)(x, yN, rho)
+        H = jax.hessian(term_cost_aug, argnums=0)(x, yN, rho)
         if opt.convexify:
             H = _convexify(H, opt.min_eig)
         return g, H
@@ -258,16 +311,22 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
     X = X_init
     if fix_x0:
         X = X.at[0].set(x0)
-    U = U_init
+    U = jnp.where(pin, pin_val, U_init)
     c0 = stage_c(X, U)
     cN0 = term_c(X)
     mu0 = jnp.asarray(opt.mu_init, dtype)
-    s = jnp.maximum(-c0, opt.s_min)
-    sN = jnp.maximum(-cN0, opt.s_min)
+    # |c| (not -c): a constraint VIOLATED at the initial point must still get a
+    # slack at its own scale — s ~ s_min would give barrier curvature mu/s^2 that
+    # pins the iterate at the infeasible point forever
+    s = jnp.maximum(jnp.abs(c0), opt.s_min)
+    sN = jnp.maximum(jnp.abs(cN0), opt.s_min)
     z = mu0 / s * mask_f + (1.0 - mask_f)
     zN = mu0 / sN * maskN_f + (1.0 - maskN_f)
     lam = jnp.zeros((N, nx), dtype)
     nu_pen = jnp.asarray(10.0, dtype)
+    Y0 = jnp.zeros((N, n_e), dtype)
+    yN0 = jnp.zeros(n_eN, dtype)
+    rho0 = jnp.asarray(opt.rho_eq, dtype)
 
     class Carry(NamedTuple):
         X: jnp.ndarray
@@ -283,13 +342,18 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         it: jnp.ndarray
         converged: jnp.ndarray
         diverged: jnp.ndarray
+        Y: jnp.ndarray       # (N, n_e) AL multipliers, stage equalities
+        yN: jnp.ndarray      # (n_eN,) AL multipliers, terminal equalities
+        rho: jnp.ndarray     # AL penalty
+        eqv: jnp.ndarray     # previous max equality violation
 
-    def linearize(X, U):
+    def linearize(X, U, Y, yN, rho):
         """One full linearization of dynamics/costs/constraints along the horizon —
         shared by the convergence test and the Newton step (the expensive part)."""
         F, A, B = jax.vmap(dyn_lin)(X[:-1], U, theta[:-1])
-        gx, gu, Hxx, Hux, Huu = jax.vmap(cost_terms)(X[:-1], U, theta[:-1])
-        gN, HN = term_terms(X[-1])
+        gx, gu, Hxx, Hux, Huu = jax.vmap(
+            cost_terms, in_axes=(0, 0, 0, 0, None))(X[:-1], U, theta[:-1], Y, rho)
+        gN, HN = term_terms(X[-1], yN, rho)
         c = stage_c(X, U)
         cN = term_c(X)
         Cx, Cu = jax.vmap(stage_c_jac)(X[:-1], U, theta[:-1], lbx_c, ubx_c,
@@ -308,7 +372,7 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         r_x = r_x.at[1:].add(-lam[:-1])
         r_xN = gN - lam[-1] + CxN.T @ zNm
         r_u = (gu + jnp.einsum("kij,ki->kj", B, lam)
-               + jnp.einsum("kij,ki->kj", Cu, zm))
+               + jnp.einsum("kij,ki->kj", Cu, zm)) * free_u_f
         r_dyn = F - X[1:]
         r_ineq = (c + s) * mask_f
         r_ineqN = (cN + sN) * maskN_f
@@ -337,8 +401,19 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         return (jnp.maximum(base, comp_err(0.0)),
                 jnp.maximum(base, comp_err(mu)))
 
-    def merit(X, U, s, sN, mu, nu_p):
+    def eq_violation(X, U):
+        h = stage_eq_all(X, U)
+        hN = term_eq_val(X)
+        return jnp.maximum(jnp.max(jnp.abs(h), initial=0.0),
+                           jnp.max(jnp.abs(hN), initial=0.0))
+
+    def merit(X, U, s, sN, mu, nu_p, Y, yN, rho):
         f = objective(X, U)
+        if has_eq or has_eqN:
+            h = stage_eq_all(X, U)
+            hN = term_eq_val(X)
+            f = (f + jnp.sum(Y * h) + 0.5 * rho * jnp.sum(h * h)
+                 + jnp.dot(yN, hN) + 0.5 * rho * jnp.dot(hN, hN))
         bar = -mu * (jnp.sum(jnp.log(jnp.maximum(s, 1e-30)) * mask_f)
                      + jnp.sum(jnp.log(jnp.maximum(sN, 1e-30)) * maskN_f))
         viol = (jnp.sum(jnp.abs(dyn_defect(X, U)))
@@ -351,18 +426,42 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
             carry.X, carry.U, carry.lam, carry.s, carry.z, carry.sN, carry.zN,
             carry.mu, carry.nu_pen)
 
-        lin = linearize(X, U)
+        Y, yN, rho = carry.Y, carry.yN, carry.rho
+        lin = linearize(X, U, Y, yN, rho)
         (F, A, B, gx, gu, Hxx, Hux, Huu, gN, HN, c, cN, Cx, Cu, CxN) = lin
 
         # convergence / barrier bookkeeping on the CURRENT iterate, reusing this
         # iteration's linearization (no extra jacobian passes)
         err0, err_mu = kkt_errors(lin, X, lam, s, z, sN, zN, mu)
-        converged = err0 <= opt.tol
+        eq_v = eq_violation(X, U)
+        converged = (err0 <= opt.tol) & (eq_v <= opt.tol)
+        subproblem_done = err_mu <= opt.kappa_eps * mu
         mu = jnp.where(
-            err_mu <= opt.kappa_eps * mu,
+            subproblem_done,
             jnp.maximum(opt.tol / 10.0,
                         jnp.minimum(opt.kappa_mu * mu, mu ** opt.theta_mu)),
             mu)
+        # augmented-Lagrangian outer update at barrier-subproblem solves.
+        # LANCELOT rule: a first-order multiplier step ONLY when the violation
+        # dropped enough (else dual ascent diverges — y must track true duals);
+        # otherwise escalate rho. Multipliers are kept bounded as a safeguard.
+        if has_eq or has_eqN:
+            good = subproblem_done & (eq_v <= 0.25 * carry.eqv)
+            bad_up = subproblem_done & ~good & (eq_v > opt.tol)
+            h_cur = stage_eq_all(X, U)
+            hN_cur = term_eq_val(X)
+            y_max = 1e5
+            Y = jnp.where(good, jnp.clip(Y + rho * h_cur, -y_max, y_max), Y)
+            yN = jnp.where(good, jnp.clip(yN + rho * hN_cur, -y_max, y_max), yN)
+            rho = jnp.where(bad_up, jnp.minimum(rho * 10.0, opt.rho_eq_max), rho)
+            eqv_new = jnp.where(good, eq_v, carry.eqv)
+            import os as _os
+            if _os.environ.get("HILO_IP_DEBUG"):
+                jax.debug.print(
+                    "it={i} good={g} eq_v={e} rho={r} yN={y} mu={m} err_mu={em}",
+                    i=carry.it, g=good, e=eq_v, r=rho, y=yN, m=mu, em=err_mu)
+        else:
+            eqv_new = carry.eqv
 
         sigma = jnp.where(mask, z / s, 0.0)
         sigmaN = jnp.where(maskN, zN / sN, 0.0)
@@ -372,10 +471,13 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         zhatN = jnp.where(maskN, (mu + zN * r_ineqN) / sN, 0.0)
 
         Qb = Hxx + jnp.einsum("kmi,km,kmj->kij", Cx, sigma, Cx)
-        Rb = Huu + jnp.einsum("kmi,km,kmj->kij", Cu, sigma, Cu)
+        Rb = (Huu + jnp.einsum("kmi,km,kmj->kij", Cu, sigma, Cu)
+              + jnp.einsum("km,mn->kmn", w_pin * pin_f,
+                           jnp.eye(nu, dtype=dtype)))
         Sb = Hux + jnp.einsum("kmi,km,kmj->kij", Cu, sigma, Cx)
         qb = gx + jnp.einsum("kmi,km->ki", Cx, zhat)
-        rb = gu + jnp.einsum("kmi,km->ki", Cu, zhat)
+        rb = (gu + jnp.einsum("kmi,km->ki", Cu, zhat)
+              + w_pin * pin_f * (U - pin_val))
         P_term = HN + jnp.einsum("mi,m,mj->ij", CxN, sigmaN, CxN)
         p_term = gN + CxN.T @ zhatN
 
@@ -421,10 +523,11 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         alphas = a_s * (0.5 ** jnp.arange(opt.n_linesearch, dtype=dtype))
 
         def merit_at(a):
-            return merit(X + a * dX, U + a * dU, s + a * ds, sN + a * dsN, mu, nu_new)
+            return merit(X + a * dX, U + a * dU, s + a * ds, sN + a * dsN, mu,
+                         nu_new, Y, yN, rho)
 
         phis = jax.vmap(merit_at)(alphas)
-        phi0 = merit(X, U, s, sN, mu, nu_new)
+        phi0 = merit(X, U, s, sN, mu, nu_new, Y, yN, rho)
         # accept the largest step that does not increase the merit (up to roundoff —
         # near the solution Newton steps change the merit by ~eps, and demanding a
         # strict decrease would stall the iteration); otherwise take the best trial
@@ -459,12 +562,15 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
                      s=sel(s, s_new), z=sel(z, z_new), sN=sel(sN, sN_new),
                      zN=sel(zN, zN_new), mu=mu, nu_pen=nu_new, kkt=err0,
                      it=carry.it + 1, converged=converged,
-                     diverged=carry.diverged | bad)
+                     diverged=carry.diverged | bad,
+                     Y=Y, yN=yN, rho=rho, eqv=eqv_new)
 
     init_carry = Carry(X=X, U=U, lam=lam, s=s, z=z, sN=sN, zN=zN, mu=mu0,
                        nu_pen=nu_pen, kkt=jnp.asarray(jnp.inf, dtype),
                        it=jnp.zeros((), jnp.int32),
-                       converged=jnp.zeros((), bool), diverged=jnp.zeros((), bool))
+                       converged=jnp.zeros((), bool), diverged=jnp.zeros((), bool),
+                       Y=Y0, yN=yN0, rho=rho0,
+                       eqv=jnp.asarray(jnp.inf, dtype))
 
     def masked_iteration(cr: Carry) -> Carry:
         # under vmap, while_loop applies the body to every lane while ANY lane is

@@ -82,7 +82,7 @@ def solve_dense_nlp(f: Callable, g: Optional[Callable], n: int, m: int,
         converged: jnp.ndarray
 
     c0 = cons_m(x0)
-    s0 = jnp.maximum(-c0, 1e-4)
+    s0 = jnp.maximum(jnp.abs(c0), 1e-4)  # violated rows get scale-sized slacks
     mu0 = jnp.asarray(opt.mu_init, dtype)
     z0 = mu0 / s0 * mask_f + (1 - mask_f)
 
