@@ -47,6 +47,22 @@ def main():
     t_best = min(times)
     solves_per_s = B / t_best
 
+    # warm-start measurement: re-solve from the previous solution shifted by one
+    # stage (the real closed-loop MPC regime)
+    import jax.numpy as jnp
+
+    theta_B, xs0_B, _, _ = args
+    X_warm = jnp.concatenate([sol.X[:, 1:], sol.X[:, -1:]], axis=1)
+    X_warm = X_warm.at[:, 0, :].set(xs0_B)
+    U_warm = jnp.concatenate([sol.U[:, 1:], sol.U[:, -1:]], axis=1)
+    sol_w = fn(theta_B, xs0_B, X_warm, U_warm)
+    jax.block_until_ready(sol_w.U)
+    t0 = time.perf_counter()
+    sol_w = fn(theta_B, xs0_B, X_warm, U_warm)
+    jax.block_until_ready(sol_w.U)
+    t_warm = time.perf_counter() - t0
+    warm_iters = float(np.median(np.asarray(sol_w.iterations)))
+
     target_per_chip = 10000.0 / 8.0
     result = {
         "metric": "NMPC solves/s/chip (CSTR, N=20, multiple shooting)",
@@ -57,7 +73,8 @@ def main():
     print(json.dumps(result))
     print(f"# device={dev.platform} B={B} t_best={t_best*1e3:.1f}ms "
           f"compile={compile_s:.1f}s converged={conv:.3f} iters_p50={iters} "
-          f"per-solve={t_best/B*1e6:.1f}us", file=sys.stderr)
+          f"per-solve={t_best/B*1e6:.1f}us | warm-start: {B/t_warm:.0f} solves/s "
+          f"({t_warm/B*1e6:.1f}us, iters_p50={warm_iters})", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,34 @@
+"""Joint estimate-then-control: MHE + NMPC on the CSTR (BASELINE configs[2];
+reference example: MHE chemical reaction)."""
+import numpy as np
+
+from hilo_mpc_tpu import MHE, NMPC, SimpleControlLoop
+from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
+
+P = [1.0] * 6
+
+plant = cstr_schaffner_and_zeitz()
+plant.setup(dt=0.1, integration_method="rk4")
+plant.set_initial_conditions([0.2, 0.1])
+plant.set_initial_parameter_values(P)
+
+nmpc = NMPC(cstr_schaffner_and_zeitz())
+nmpc.horizon = 12
+nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0], ref=[0.3, 0.18055])
+nmpc.quad_stage_cost.add_inputs(weights=0.1)
+nmpc.set_parameters(P)
+nmpc.setup(options={"dt": 0.1})
+
+mhe = MHE(cstr_schaffner_and_zeitz())
+mhe.horizon = 8
+mhe.Q = 1e-6          # process-noise weight (inverted internally)
+mhe.R = 1e-5          # measurement-noise weight
+mhe.P0 = np.eye(2) * 0.05
+mhe.set_initial_parameter_values(P)
+mhe.setup(dt=0.1)
+mhe.set_initial_guess([0.25, 0.12])
+
+loop = SimpleControlLoop(plant, nmpc, mhe)
+loop.run(25)
+print("true final state:", plant.solution["x:f"])
+print("MHE stats:", mhe.stats)

@@ -36,6 +36,7 @@ _NLP_OPTION_KEYS = {
     "integration_method", "degree", "collocation_scheme", "substeps",
     "newton_iters", "max_iter", "tol", "mu_init", "warm_start", "print_level",
     "dt", "convexify", "n_linesearch", "early_exit", "u_pf_lb", "u_pf_ub",
+    "ipopt_debugger",
 }
 
 
@@ -536,12 +537,21 @@ class NMPC:
             convexify=options.get("convexify", True),
             n_linesearch=options.get("n_linesearch", 10),
             early_exit=options.get("early_exit", True),
+            record_iterates=options.get("ipopt_debugger", False),
         )
         self._ip_opts = ip_opts
         self._warm_start = options.get("warm_start", True)
 
         self._solve_jit = jax.jit(partial(
             solve_ocp, funcs, dims, options=ip_opts, fix_x0=True))
+        # warm-started solves (closed loop) start from a near-optimal point: a
+        # small initial barrier skips the early centering iterations
+        import dataclasses as _dc
+        # (mu never increases in the monotone scheme, so don't start too low)
+        warm_opts = _dc.replace(ip_opts,
+                                mu_init=min(ip_opts.mu_init, 1e-2))
+        self._solve_warm_jit = jax.jit(partial(
+            solve_ocp, funcs, dims, options=warm_opts, fix_x0=True))
         self._solve_batch_jit = None
 
         # jitted cold-start rollout (a Python-loop rollout would dispatch N eager
@@ -697,10 +707,16 @@ class NMPC:
         xs0 = self._solver_x0(x0)
         X_init, U_init = self._initial_trajectory(xs0, theta)
         dtype = self._solver_dtype
-        sol = self._solve_jit(
+        solver = (self._solve_warm_jit
+                  if (self._warm is not None and self._warm_start)
+                  else self._solve_jit)
+        sol = solver(
             self._bounds,
             jnp.asarray(theta, dtype), jnp.asarray(xs0, dtype),
             jnp.asarray(X_init, dtype), jnp.asarray(U_init, dtype))
+        if self._ip_opts.record_iterates:
+            sol, history = sol
+            self.iteration_history = {k: np.asarray(v) for k, v in history.items()}
         X = np.asarray(sol.X)
         U = np.asarray(sol.U)
 
@@ -753,6 +769,41 @@ class NMPC:
 
     def return_prediction(self):
         return self.last_prediction
+
+    def plot_iterations(self, save_as=None, show=False):
+        """Visualize the recorded IP iterate history (reference: plot_iterations,
+        optimizer.py:1562 + IpoptDebugger). Requires
+        setup(options={'ipopt_debugger': True})."""
+        hist = getattr(self, "iteration_history", None)
+        if hist is None:
+            raise RuntimeError("enable options={'ipopt_debugger': True} and call "
+                               "optimize() first")
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        n = int(hist["n"])
+        fig, axes = plt.subplots(3, 1, figsize=(8, 9))
+        its = np.arange(n)
+        axes[0].semilogy(its, np.maximum(hist["kkt"][:n], 1e-16), "-o", ms=3)
+        axes[0].set_ylabel("KKT error")
+        axes[1].semilogy(its, np.maximum(hist["mu"][:n], 1e-16), "-o", ms=3)
+        axes[1].set_ylabel("barrier mu")
+        nu = self._model.n_u
+        for it in range(0, n, max(1, n // 8)):
+            axes[2].plot(hist["U"][it, :, :nu].ravel(), alpha=0.4)
+        axes[2].plot(hist["U"][max(n - 1, 0), :, :nu].ravel(), "k", lw=2,
+                     label="final")
+        axes[2].set_ylabel("u trajectory per iterate")
+        axes[2].legend()
+        for ax in axes:
+            ax.grid(alpha=0.3)
+        fig.tight_layout()
+        if save_as:
+            fig.savefig(save_as, dpi=120)
+        if show:
+            plt.show()
+        return fig
 
     # -- batched solve (TPU headline path) ------------------------------------
     def solve_batch_fn(self):

@@ -615,6 +615,54 @@ class Model:
                             "p": np.asarray(p_v)}
         return lin
 
+    def set_equilibrium_point(self, x_eq, u_eq=None, p=None, tol: float = 1e-6):
+        """Validate and store an equilibrium (reference: dynamic_model.py:4127-4140
+        raises on non-equilibrium inputs)."""
+        x_eq = np.asarray(x_eq, dtype=float).ravel()
+        u_eq = (np.zeros(self.n_u) if u_eq is None
+                else np.asarray(u_eq, dtype=float).ravel())
+        p_v = (self._p0 if (p is None and self._p0 is not None)
+               else np.asarray(p if p is not None else np.zeros(self.n_p),
+                               dtype=float))
+        f = self.ode_fn()
+        dt64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        res = np.asarray(f(jnp.asarray(x_eq, dt64), jnp.zeros(self.n_z, dt64),
+                           jnp.asarray(u_eq, dt64), jnp.asarray(p_v, dt64), 0.0))
+        if self._discrete:
+            res = res - x_eq
+        if np.max(np.abs(res)) > tol:
+            raise ValueError(
+                f"({x_eq}, {u_eq}) is not an equilibrium: residual {res} "
+                f"(max |r| = {np.max(np.abs(res)):.3g} > tol {tol})")
+        self._equilibrium = {"x": x_eq, "u": u_eq, "p": np.asarray(p_v)}
+        return self
+
+    def linearize_trajectory(self, X, U, p=None, t0: float = 0.0):
+        """Time-varying linearization along a trajectory: returns (A_k, B_k) arrays
+        of shape (T, nx, nx) / (T, nx, nu) (reference: trajectory linearization in
+        dynamic_model.py:2488-2731)."""
+        X = np.atleast_2d(np.asarray(X, dtype=float))
+        U = np.atleast_2d(np.asarray(U, dtype=float))
+        T = min(X.shape[0], U.shape[0])
+        p_v = (self._p0 if (p is None and self._p0 is not None)
+               else np.asarray(p if p is not None else np.zeros(self.n_p),
+                               dtype=float))
+        dt64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        f = self.ode_fn()
+        z0 = jnp.zeros(self.n_z, dt64)
+        pj = jnp.asarray(p_v, dt64)
+        dt = self._dt or 1.0
+
+        def jac_at(x, u, t):
+            A = jax.jacfwd(lambda xx: f(xx, z0, u, pj, t))(x)
+            B = jax.jacfwd(lambda uu: f(x, z0, uu, pj, t))(u)
+            return A, B
+
+        ts = t0 + dt * jnp.arange(T)
+        A, B = jax.vmap(jac_at)(jnp.asarray(X[:T], dt64), jnp.asarray(U[:T], dt64),
+                                ts)
+        return np.asarray(A), np.asarray(B)
+
     def jacobians(self, x, u, z=None, p=None, t: float = 0.0):
         """(A, B) continuous- or discrete-time Jacobians of the RHS at a point."""
         z = jnp.zeros(self.n_z, self._dtype) if z is None else jnp.asarray(z, self._dtype)

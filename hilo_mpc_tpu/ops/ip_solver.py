@@ -94,6 +94,7 @@ class IPOptions:
     # (tight two-sided bounds would choke the fraction-to-boundary rule)
     rho_eq: float = 1e2          # initial AL penalty
     rho_eq_max: float = 1e7
+    record_iterates: bool = False  # keep per-iteration (X, U, kkt, mu, obj) history
 
 
 class OCPSolution(NamedTuple):
@@ -346,6 +347,9 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         yN: jnp.ndarray      # (n_eN,) AL multipliers, terminal equalities
         rho: jnp.ndarray     # AL penalty
         eqv: jnp.ndarray     # previous max equality violation
+        hist_X: jnp.ndarray  # (max_iter, N+1, nx) when recording, else (0,)
+        hist_U: jnp.ndarray
+        hist_s: jnp.ndarray  # (max_iter, 3): [kkt, mu, objective]
 
     def linearize(X, U, Y, yN, rho):
         """One full linearization of dynamics/costs/constraints along the horizon —
@@ -434,6 +438,15 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         # iteration's linearization (no extra jacobian passes)
         err0, err_mu = kkt_errors(lin, X, lam, s, z, sN, zN, mu)
         eq_v = eq_violation(X, U)
+        if opt.record_iterates:
+            # per-iteration history ring (reference: IpoptDebugger callback,
+            # util/optimizer.py:37-144)
+            hist_X = carry.hist_X.at[carry.it].set(X)
+            hist_U = carry.hist_U.at[carry.it].set(U)
+            hist_s = carry.hist_s.at[carry.it].set(
+                jnp.stack([err0, mu, objective(X, U)]))
+        else:
+            hist_X, hist_U, hist_s = carry.hist_X, carry.hist_U, carry.hist_s
         converged = (err0 <= opt.tol) & (eq_v <= opt.tol)
         subproblem_done = err_mu <= opt.kappa_eps * mu
         mu = jnp.where(
@@ -563,14 +576,21 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
                      zN=sel(zN, zN_new), mu=mu, nu_pen=nu_new, kkt=err0,
                      it=carry.it + 1, converged=converged,
                      diverged=carry.diverged | bad,
-                     Y=Y, yN=yN, rho=rho, eqv=eqv_new)
+                     Y=Y, yN=yN, rho=rho, eqv=eqv_new,
+                     hist_X=hist_X, hist_U=hist_U, hist_s=hist_s)
 
     init_carry = Carry(X=X, U=U, lam=lam, s=s, z=z, sN=sN, zN=zN, mu=mu0,
                        nu_pen=nu_pen, kkt=jnp.asarray(jnp.inf, dtype),
                        it=jnp.zeros((), jnp.int32),
                        converged=jnp.zeros((), bool), diverged=jnp.zeros((), bool),
                        Y=Y0, yN=yN0, rho=rho0,
-                       eqv=jnp.asarray(jnp.inf, dtype))
+                       eqv=jnp.asarray(jnp.inf, dtype),
+                       hist_X=(jnp.zeros((opt.max_iter, N + 1, nx), dtype)
+                               if opt.record_iterates else jnp.zeros(0, dtype)),
+                       hist_U=(jnp.zeros((opt.max_iter, N, nu), dtype)
+                               if opt.record_iterates else jnp.zeros(0, dtype)),
+                       hist_s=(jnp.zeros((opt.max_iter, 3), dtype)
+                               if opt.record_iterates else jnp.zeros(0, dtype)))
 
     def masked_iteration(cr: Carry) -> Carry:
         # under vmap, while_loop applies the body to every lane while ANY lane is
@@ -590,6 +610,15 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
 
     obj = objective(final.X, final.U)
     status = jnp.where(final.converged, 0, jnp.where(final.diverged, 2, 1))
+    if opt.record_iterates:
+        history = {"X": final.hist_X, "U": final.hist_U,
+                   "kkt": final.hist_s[:, 0], "mu": final.hist_s[:, 1],
+                   "objective": final.hist_s[:, 2], "n": final.it}
+        return OCPSolution(
+            X=final.X, U=final.U, lam=final.lam, s=final.s, z=final.z,
+            sN=final.sN, zN=final.zN, mu=final.mu, kkt_error=final.kkt,
+            objective=obj, iterations=final.it, converged=final.converged,
+            status=status.astype(jnp.int32)), history
     return OCPSolution(
         X=final.X, U=final.U, lam=final.lam, s=final.s, z=final.z, sN=final.sN,
         zN=final.zN, mu=final.mu, kkt_error=final.kkt, objective=obj,

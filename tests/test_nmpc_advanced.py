@@ -95,3 +95,21 @@ class TestPathFollowing:
         # setup auto-enables the path variable when path terms exist
         nmpc.setup(options={"dt": 0.1})
         assert nmpc._path_following
+
+
+class TestDebugger:
+    def test_iterate_recording_and_plot(self, tmp_path):
+        nmpc = NMPC(double_integrator())
+        nmpc.horizon = 8
+        nmpc.quad_stage_cost.add_states(weights=[1.0, 0.5])
+        nmpc.quad_stage_cost.add_inputs(weights=0.1)
+        nmpc.set_box_constraints(u_lb=-1.0, u_ub=1.0)
+        nmpc.setup(options={"dt": 0.2, "ipopt_debugger": True})
+        nmpc.optimize([1.0, 0.0])
+        hist = nmpc.iteration_history
+        n = int(hist["n"])
+        assert n >= 2
+        # KKT error decreases over the recorded iterates
+        assert hist["kkt"][n - 1] < hist["kkt"][0]
+        fig = nmpc.plot_iterations(save_as=str(tmp_path / "iters.png"))
+        assert (tmp_path / "iters.png").exists()

@@ -130,3 +130,40 @@ class TestDataGenerator:
         gen.closed_loop(lambda x: -0.5 * x)
         ds = gen.run(output="delta")
         assert ds.n_samples == 15
+
+
+class TestSeriesIO:
+    def test_mat_export(self, tmp_path):
+        from scipy.io import loadmat
+
+        from hilo_mpc_tpu.core.series import TimeSeries
+
+        ts = TimeSeries()
+        ts.register("x", ["a", "b"])
+        ts.append([0.0, 0.1], x=np.array([[1.0, 2.0], [3.0, 4.0]]))
+        path = str(tmp_path / "sol.mat")
+        ts.to_mat(path)
+        data = loadmat(path)
+        np.testing.assert_allclose(data["x"], [[1.0, 2.0], [3.0, 4.0]])
+
+    def test_plot_series(self, tmp_path):
+        from hilo_mpc_tpu.core.series import TimeSeries
+        from hilo_mpc_tpu.utils.plotting import plot_series
+
+        ts = TimeSeries()
+        ts.register("x", ["a"])
+        ts.register("u", ["v"])
+        ts.append([0.0, 0.1, 0.2], x=np.array([[1.0, 2.0, 3.0]]),
+                  u=np.array([[0.0, 1.0, 0.0]]))
+        fig = plot_series(ts, save_as=str(tmp_path / "p.png"))
+        assert (tmp_path / "p.png").exists()
+
+    def test_noise_injection(self):
+        from hilo_mpc_tpu.core.series import TimeSeries
+
+        ts = TimeSeries()
+        ts.register("y", ["m"])
+        ts.append(np.arange(50) * 0.1, y=np.sin(np.arange(50))[None, :])
+        noisy = ts.make_some_noise("y", std=0.1, seed=0)
+        assert noisy.shape == (1, 50)
+        assert not np.allclose(noisy, ts["y"])
