@@ -36,7 +36,7 @@ _NLP_OPTION_KEYS = {
     "integration_method", "degree", "collocation_scheme", "substeps",
     "newton_iters", "max_iter", "tol", "mu_init", "warm_start", "print_level",
     "dt", "convexify", "n_linesearch", "early_exit", "u_pf_lb", "u_pf_ub",
-    "ipopt_debugger",
+    "ipopt_debugger", "parallel_riccati",
 }
 
 
@@ -538,6 +538,8 @@ class NMPC:
             n_linesearch=options.get("n_linesearch", 10),
             early_exit=options.get("early_exit", True),
             record_iterates=options.get("ipopt_debugger", False),
+            parallel_riccati=options.get("parallel_riccati",
+                                         N >= 128),  # log-depth pays off when long
         )
         self._ip_opts = ip_opts
         self._warm_start = options.get("warm_start", True)

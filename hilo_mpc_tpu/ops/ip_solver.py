@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .riccati import backward_sweep, solve_lq
+from .riccati import backward_sweep, solve_lq, solve_lq_parallel
 
 
 class OCPFunctions(NamedTuple):
@@ -95,6 +95,7 @@ class IPOptions:
     rho_eq: float = 1e2          # initial AL penalty
     rho_eq_max: float = 1e7
     record_iterates: bool = False  # keep per-iteration (X, U, kkt, mu, obj) history
+    parallel_riccati: bool = False  # O(log N)-depth associative-scan KKT solve
 
 
 class OCPSolution(NamedTuple):
@@ -503,8 +504,9 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
                 A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term, opt.reg)
             dx0 = -jnp.linalg.solve(
                 P0 + opt.reg * jnp.eye(nx, dtype=dtype), p0)
-        sol = solve_lq(A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term, dx0,
-                       reg=opt.reg)
+        lq_solver = solve_lq_parallel if opt.parallel_riccati else solve_lq
+        sol = lq_solver(A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term, dx0,
+                        reg=opt.reg)
         dX, dU, lam_new = sol.dX, sol.dU, sol.lam
 
         dC = (jnp.einsum("kmi,ki->km", Cx, dX[:-1])

@@ -91,6 +91,113 @@ def solve_lq(A, B, Q, S, R, q, r, c, P_term, p_term, dx0, reg: float = 1e-9
     return LQSolution(dX=dX, dU=dU, lam=lam, K=K, kff=kff, cost_red=dec)
 
 
+def solve_lq_parallel(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
+                      reg: float = 1e-9) -> LQSolution:
+    """Temporal-parallel LQ solve: O(log N) depth via `lax.associative_scan`.
+
+    Same problem and interface as `solve_lq`, but both the value-function
+    (backward) and trajectory (forward) recursions run as associative scans —
+    the parallelization of the Riccati recursion (PAPERS.md: Särkkä &
+    García-Fernández temporal parallelization; dual-regularized Riccati IP).
+    On TPU this turns the horizon from a serial chain into a log-depth tree of
+    batched small-matrix composes, which matters for long horizons (N >~ 256).
+
+    Method: per-stage cross/linear control terms are eliminated by completing the
+    square (u = ũ - R⁻¹(S dx + r)), stages become conditional-value-function
+    elements e_k = (A, b, C, η, J) with the standard composition rule; the reverse
+    associative scan yields (P_k, p_k) = (J_k, -η_k) for every k at once; gains and
+    the forward affine rollout follow as one vmap + one more associative scan over
+    affine-map composition.
+    """
+    N, nx = A.shape[0], A.shape[1]
+    nu = B.shape[2]
+    dtype = A.dtype
+    I_nu = jnp.eye(nu, dtype=dtype)
+    I_nx = jnp.eye(nx, dtype=dtype)
+
+    # --- eliminate control cross/linear terms per stage (vmapped) ---
+    R_reg = R + reg * I_nu
+    Rinv = jnp.linalg.inv(0.5 * (R_reg + jnp.swapaxes(R_reg, 1, 2)))
+    RiS = jnp.einsum("kij,kjn->kin", Rinv, S)          # R⁻¹S
+    Rir = jnp.einsum("kij,kj->ki", Rinv, r)            # R⁻¹r
+    A_t = A - jnp.einsum("kij,kjn->kin", B, RiS)       # A - B R⁻¹ S
+    c_t = c - jnp.einsum("kij,kj->ki", B, Rir)         # c - B R⁻¹ r
+    Q_t = Q - jnp.einsum("kni,kij->knj", jnp.swapaxes(S, 1, 2), RiS)
+    q_t = q - jnp.einsum("kni,ki->kn", jnp.swapaxes(S, 1, 2), Rir)
+    C_t = jnp.einsum("kij,kjl,knl->kin", B, Rinv, B)   # B R⁻¹ Bᵀ
+
+    # --- elements: stages 0..N-1 then the terminal boundary element ---
+    Ae = jnp.concatenate([A_t, jnp.zeros((1, nx, nx), dtype)], axis=0)
+    be = jnp.concatenate([c_t, jnp.zeros((1, nx), dtype)], axis=0)
+    Ce = jnp.concatenate([C_t, jnp.zeros((1, nx, nx), dtype)], axis=0)
+    etae = jnp.concatenate([-q_t, -p_term[None]], axis=0)
+    Je = jnp.concatenate([Q_t, P_term[None]], axis=0)
+
+    def combine(ei, ej):
+        # ei spans [k, m], ej spans [m, l] — note associative_scan(reverse=True)
+        # calls combine(earlier, later) elementwise on reversed order; arguments
+        # here are (later-in-scan, earlier-in-scan) => map (i=left/earlier in time,
+        # j=right/later in time) accordingly below.
+        Ai, bi, Ci, etai, Ji = ei
+        Aj, bj, Cj, etaj, Jj = ej
+        M = jnp.linalg.inv(jnp.eye(nx, dtype=dtype) + jnp.einsum(
+            "...ij,...jn->...in", Ci, Jj))
+        AjM = jnp.einsum("...ij,...jn->...in", Aj, M)
+        A_new = jnp.einsum("...ij,...jn->...in", AjM, Ai)
+        b_new = jnp.einsum("...ij,...j->...i", AjM,
+                           bi + jnp.einsum("...ij,...j->...i", Ci, etaj)) + bj
+        C_new = jnp.einsum("...ij,...jn,...mn->...im", AjM, Ci, Aj) + Cj
+        Mt = jnp.linalg.inv(jnp.eye(nx, dtype=dtype) + jnp.einsum(
+            "...ij,...jn->...in", Jj, Ci))
+        AiT_Mt = jnp.einsum("...ji,...jn->...in", Ai, Mt)
+        eta_new = jnp.einsum("...ij,...j->...i", AiT_Mt,
+                             etaj - jnp.einsum("...ij,...j->...i", Jj, bi)) + etai
+        J_new = jnp.einsum("...ij,...jn,...nm->...im", AiT_Mt, Jj, Ai) + Ji
+        return (A_new, b_new, C_new, eta_new, J_new)
+
+    def combine_rev(a, b):
+        # reverse scan feeds (later, earlier); re-order to (earlier, later)
+        return combine(b, a)
+
+    elems = (Ae, be, Ce, etae, Je)
+    _, _, _, eta_all, J_all = lax.associative_scan(combine_rev, elems,
+                                                   reverse=True)
+    Ps = J_all                      # (N+1, nx, nx): P_k for all k
+    ps = -eta_all                   # (N+1, nx)
+
+    # --- gains from (P_{k+1}, p_{k+1}) for all stages at once ---
+    P_next = Ps[1:]
+    p_next = ps[1:]
+    PB = jnp.einsum("kij,kjn->kin", P_next, B)
+    G = R + jnp.einsum("kji,kjn->kin", B, PB)       # R + BᵀP'B
+    G = 0.5 * (G + jnp.swapaxes(G, 1, 2)) + reg * I_nu
+    H_ux = S + jnp.einsum("kji,kjl,kln->kin", B, P_next, A)
+    Pc_p = jnp.einsum("kij,kj->ki", P_next, c) + p_next
+    g_u = r + jnp.einsum("kji,kj->ki", B, Pc_p)
+    Ginv = jnp.linalg.inv(G)
+    K = -jnp.einsum("kij,kjn->kin", Ginv, H_ux)
+    kff = -jnp.einsum("kij,kj->ki", Ginv, g_u)
+
+    # --- forward affine rollout as an associative scan over (M, v) composition ---
+    Mcl = A + jnp.einsum("kij,kjn->kin", B, K)
+    vcl = jnp.einsum("kij,kj->ki", B, kff) + c
+
+    def affine_compose(f, g):
+        # f then g: x -> Mg (Mf x + vf) + vg
+        Mf, vf = f
+        Mg, vg = g
+        return (jnp.einsum("...ij,...jn->...in", Mg, Mf),
+                jnp.einsum("...ij,...j->...i", Mg, vf) + vg)
+
+    Mscan, vscan = lax.associative_scan(affine_compose, (Mcl, vcl))
+    dX_tail = jnp.einsum("kij,j->ki", Mscan, dx0) + vscan
+    dX = jnp.concatenate([dx0[None], dX_tail], axis=0)
+    dU = jnp.einsum("kij,kj->ki", K, dX[:-1]) + kff
+    lam = jnp.einsum("kij,kj->ki", P_next, dX[1:]) + p_next
+    dec = -0.5 * jnp.einsum("ki,ki->", kff, g_u)
+    return LQSolution(dX=dX, dU=dU, lam=lam, K=K, kff=kff, cost_red=dec)
+
+
 def lqr_backward(A, B, Q, R, S=None, P_term=None, horizon: int = None):
     """Finite-horizon time-invariant LQR gains K_0..K_{N-1} (and P_0).
 

@@ -156,3 +156,48 @@ class TestRiccati:
         assert np.max(np.abs(res)) < 1e-8
         Acl = A - B @ K
         assert np.max(np.abs(np.linalg.eigvals(Acl))) < 1.0
+
+
+class TestParallelRiccati:
+    def _random_lq(self, N, nx=3, nu=2, seed=0):
+        rng = np.random.default_rng(seed)
+        A_ = jnp.asarray(rng.normal(0, 0.3, (N, nx, nx)) + np.eye(nx) * 0.9)
+        B_ = jnp.asarray(rng.normal(0, 0.3, (N, nx, nu)))
+        Qh = rng.normal(0, 1, (N, nx, nx))
+        Q_ = jnp.asarray(Qh @ Qh.transpose(0, 2, 1) * 0.1 + np.eye(nx))
+        Rh = rng.normal(0, 1, (N, nu, nu))
+        R_ = jnp.asarray(Rh @ Rh.transpose(0, 2, 1) * 0.1 + np.eye(nu) * 0.5)
+        S_ = jnp.asarray(rng.normal(0, 0.05, (N, nu, nx)))
+        q_ = jnp.asarray(rng.normal(0, 1, (N, nx)))
+        r_ = jnp.asarray(rng.normal(0, 1, (N, nu)))
+        c_ = jnp.asarray(rng.normal(0, 0.2, (N, nx)))
+        Pt = jnp.asarray(np.eye(nx) * 3.0)
+        pt = jnp.asarray(rng.normal(0, 1, nx))
+        dx0 = jnp.asarray(rng.normal(0, 1, nx))
+        return (A_, B_, Q_, S_, R_, q_, r_, c_, Pt, pt, dx0)
+
+    @pytest.mark.parametrize("N", [1, 2, 7, 64])
+    def test_matches_sequential(self, N):
+        from hilo_mpc_tpu.ops.riccati import solve_lq_parallel
+
+        args = self._random_lq(N)
+        s1 = solve_lq(*args, reg=1e-9)
+        s2 = solve_lq_parallel(*args, reg=1e-9)
+        np.testing.assert_allclose(np.asarray(s1.dU), np.asarray(s2.dU),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(s1.dX), np.asarray(s2.dX),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(s1.lam), np.asarray(s2.lam),
+                                   atol=1e-10)
+
+    def test_ip_solver_with_parallel_riccati(self):
+        inf = np.inf
+        bounds = OCPBounds(
+            lbx=jnp.full((N + 1, NX), -inf), ubx=jnp.full((N + 1, NX), inf),
+            lbu=jnp.full((N, NU), -0.6), ubu=jnp.full((N, NU), 0.6))
+        sol_seq = _solve(bounds, IPOptions(max_iter=60, tol=1e-8))
+        sol_par = _solve(bounds, IPOptions(max_iter=60, tol=1e-8,
+                                           parallel_riccati=True))
+        assert bool(sol_par.converged)
+        np.testing.assert_allclose(np.asarray(sol_par.U), np.asarray(sol_seq.U),
+                                   atol=1e-7)
