@@ -538,8 +538,10 @@ class NMPC:
             n_linesearch=options.get("n_linesearch", 10),
             early_exit=options.get("early_exit", True),
             record_iterates=options.get("ipopt_debugger", False),
-            parallel_riccati=options.get("parallel_riccati",
-                                         N >= 128),  # log-depth pays off when long
+            # opt-in: log-depth helps only for few-scenario long-horizon f64
+            # solves (measured on v5e: at B>=256 the chip is already saturated
+            # by the batch, and the scan's extra flops lose 4-15x)
+            parallel_riccati=options.get("parallel_riccati", False),
         )
         self._ip_opts = ip_opts
         self._warm_start = options.get("warm_start", True)

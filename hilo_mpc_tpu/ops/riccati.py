@@ -100,7 +100,15 @@ def solve_lq_parallel(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
     the parallelization of the Riccati recursion (PAPERS.md: Särkkä &
     García-Fernández temporal parallelization; dual-regularized Riccati IP).
     On TPU this turns the horizon from a serial chain into a log-depth tree of
-    batched small-matrix composes, which matters for long horizons (N >~ 256).
+    batched small-matrix composes.
+
+    When to use (measured on v5e): only for FEW scenarios with LONG horizons in
+    f64 — i.e. when the chip is otherwise idle along the batch dimension. At
+    production batch sizes (B >= 256) the sequential sweep already saturates the
+    chip and this variant's ~3x flops make it slower; and in f32 the
+    (I + C J)^-1 compositions lose precision over long horizons (~1e-2 control
+    error at N=256 vs 1e-15 in f64). It is therefore opt-in
+    (IPOptions.parallel_riccati).
 
     Method: per-stage cross/linear control terms are eliminated by completing the
     square (u = ũ - R⁻¹(S dx + r)), stages become conditional-value-function
