@@ -100,3 +100,41 @@ class LMPC(NMPC):
         if self._model.discrete:
             options.setdefault("integration_method", "discrete")
         return super().setup(options=options, **kwargs)
+
+    # -- condensed-QP fast path (Pallas) --------------------------------------
+    def condensed_qp(self):
+        """(H, G, lb, ub) of the condensed input-sequence QP (factor 2: our cost
+        convention is xᵀQx, the QP's is ½uᵀHu)."""
+        from ..embedded.codegen import condense_lmpc
+
+        model = self._model
+        A, B = model.A, model.B
+        if A is None:
+            A, B = (np.asarray(j) for j in model.jacobians(
+                np.zeros(model.n_x), np.zeros(model.n_u)))
+        if not model.discrete:
+            raise ValueError("condensed fast path requires a discrete-time model")
+        N = self.horizon
+        H, G = condense_lmpc(A, B, 2 * self.Q, 2 * self.R,
+                             2 * self.P if self.P is not None else None, N)
+        lb = np.tile(self._u_lb, N)
+        ub = np.tile(self._u_ub, N)
+        return H, G, lb, ub
+
+    def optimize_batch_fgm(self, x0_batch, iters: int = 100, backend: str = "auto"):
+        """Batched condensed-QP solve via the Pallas fast-gradient kernel: H stays
+        VMEM-resident across iterations (ops/pallas_kernels.py). Returns the first
+        control moves (B, n_u)."""
+        from ..ops.pallas_kernels import fgm_boxqp_batch, fgm_boxqp_batch_xla
+
+        if self._x_ref is not None or self._u_ref is not None:
+            raise NotImplementedError("fgm fast path currently solves the "
+                                      "regulation problem (no references)")
+        H, G, lb, ub = self.condensed_qp()
+        x0_batch = np.atleast_2d(np.asarray(x0_batch, dtype=float))
+        if backend == "xla":
+            U = fgm_boxqp_batch_xla(H, G, x0_batch, lb, ub, iters=iters)
+        else:
+            U = fgm_boxqp_batch(H, G, x0_batch, lb, ub, iters=iters)
+        nu = self._model.n_u
+        return np.asarray(U)[:, :nu]
