@@ -724,13 +724,15 @@ class NMPC:
         X = np.asarray(sol.X)
         U = np.asarray(sol.U)
 
-        if runs > 1 and not bool(sol.converged):
-            # multi-start with perturbed initial guesses (reference: runs kwarg,
-            # mpc.py:727-741)
+        if runs > 1:
+            # multi-start: perturbed initial guesses, keep the best converged
+            # objective (reference: runs kwarg, mpc.py:727-741) — run them all;
+            # a "converged" first solve may sit on a stationary hump of a
+            # nonconvex cost
             rng = np.random.default_rng(seed)
             best_obj = float(sol.objective) if bool(sol.converged) else np.inf
             for _ in range(runs - 1):
-                U_r = U_init + 0.1 * rng.standard_normal(U_init.shape)
+                U_r = U_init + 0.5 * rng.standard_normal(U_init.shape)
                 sol_r = self._solve_jit(
                     self._bounds, jnp.asarray(theta, dtype), jnp.asarray(xs0, dtype),
                     jnp.asarray(X_init, dtype), jnp.asarray(U_r, dtype))
