@@ -290,13 +290,17 @@ class MovingHorizonEstimator(Estimator):
             self._x_arrival = (self._x0 if self._x0 is not None
                                else np.zeros(nx))
 
-        ys = np.stack(list(self._y_history))      # (N+1, ny)
-        us = np.stack(list(self._u_history))      # (N+1, nu) (u at node k)
+        ys = np.stack(list(self._y_history))      # (N+1, ny): y_k at node k
+        us = np.stack(list(self._u_history))      # (N+1, nu): u applied after y_k
+        # interval input for node k -> k+1 is the u applied AFTER y_k was measured,
+        # i.e. us[k+1] (estimate(y, u) receives (y_{j+1}, u_j) pairs like the
+        # filters, so us leads by one within the window)
+        us_interval = np.vstack([us[1:], us[-1:]])
         t_col = self._time + self._dt * np.arange(N + 1)
         theta = np.zeros((N + 1, self._n_theta))
         off_u, off_y, off_p, off_ax, off_ap = self._offsets
         theta[:, 0] = t_col
-        theta[:, off_u:off_u + m.n_u] = us
+        theta[:, off_u:off_u + m.n_u] = us_interval
         theta[:, off_y:off_y + m.n_y] = ys
         theta[:, off_p:off_p + m.n_p] = p_vec[None, :]
         theta[:, off_ax:off_ax + nx] = self._x_arrival[None, :]
