@@ -200,7 +200,8 @@ class ArtificialNeuralNetwork:
               data_set=None, learning_rate: float = 1e-3,
               validation_split: float = 0.2, test_split: Optional[float] = None,
               patience: int = 50, loss: str = "mse", verbose: int = 0,
-              shuffle: bool = True, **_ignored):
+              shuffle: bool = True, tensorboard: bool = False,
+              tensorboard_log_dir: str = "./runs", **_ignored):
         """Native optax training loop (replaces the reference's torch/TF plugin
         dispatch, plugins/pytorch/wrapper.py:281)."""
         import optax
@@ -260,6 +261,19 @@ class ArtificialNeuralNetwork:
         def val_loss(p):
             return loss_fn(self._apply(p, X_val), y_val)
 
+        writer = None
+        if tensorboard:
+            # reference parity: tensorboard hooks during training
+            # (plugins/tensorboard/wrapper.py) — torch's event writer, no extra deps
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                writer = SummaryWriter(log_dir=tensorboard_log_dir)
+            except Exception as e:  # pragma: no cover - optional path
+                import warnings
+
+                warnings.warn(f"tensorboard logging unavailable: {e}")
+
         best_val = np.inf
         best_params = params
         bad_epochs = 0
@@ -279,6 +293,9 @@ class ArtificialNeuralNetwork:
             vl = float(val_loss(params)) if n_val else epoch_loss / steps
             hist["loss"].append(epoch_loss / steps)
             hist["val_loss"].append(vl)
+            if writer is not None:
+                writer.add_scalar("loss/train", hist["loss"][-1], epoch)
+                writer.add_scalar("loss/val", vl, epoch)
             if vl < best_val - 1e-9:
                 best_val = vl
                 best_params = params
@@ -289,6 +306,8 @@ class ArtificialNeuralNetwork:
                     break
             if verbose and epoch % max(1, epochs // 10) == 0:
                 print(f"epoch {epoch}: loss={hist['loss'][-1]:.5f} val={vl:.5f}")
+        if writer is not None:
+            writer.close()
         self._params = best_params
         self.history = hist
         return self

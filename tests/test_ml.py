@@ -346,3 +346,16 @@ class TestHybrid:
         ann.train(batch_size=8, epochs=5, X=np.ones((10, 1)), y=np.ones(10))
         with pytest.raises(ValueError, match="not model parameters"):
             self._bio_model().substitute_from(ann)
+
+
+class TestTensorBoard:
+    def test_training_writes_event_files(self, tmp_path):
+        pytest.importorskip("torch.utils.tensorboard")
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-1, 1, size=(100, 1))
+        ann = ANN(["x"], ["y"])
+        ann.add_layers(Dense(4, activation="tanh"))
+        ann.train(batch_size=32, epochs=5, X=X, y=X[:, 0],
+                  tensorboard=True, tensorboard_log_dir=str(tmp_path / "tb"))
+        files = list((tmp_path / "tb").rglob("events.out.tfevents.*"))
+        assert files, "no tensorboard event files written"
