@@ -1,2 +1,3 @@
 from .sharding import (convergence_stats, make_mesh, replicate, shard_batch,
                        sharded_solve_fn)
+from .closed_loop import ClosedLoopResult, fused_closed_loop_fn

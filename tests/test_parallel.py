@@ -69,3 +69,39 @@ class TestShardedSolve:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestFusedClosedLoop:
+    def test_fused_loop_tracks_and_converges(self):
+        from hilo_mpc_tpu.parallel import fused_closed_loop_fn
+
+        P = [1.0] * 6
+        plant = cstr_schaffner_and_zeitz()
+        plant.setup(dt=0.1, integration_method="rk4")
+        nmpc = make_nmpc(N=8)
+        run = fused_closed_loop_fn(nmpc, plant, steps=15, plant_p=np.array(P))
+        rng = np.random.default_rng(0)
+        x0s = np.array([0.2, 0.1]) + 0.04 * rng.standard_normal((6, 2))
+        res = run(x0s)
+        X = np.asarray(res.X)
+        assert X.shape == (6, 16, 2)
+        err = np.linalg.norm(X[:, -1, :] - [0.3, 0.18055], axis=1)
+        assert err.max() < 3e-2
+        assert float(np.asarray(res.converged).mean()) > 0.95
+
+    def test_fused_loop_with_process_noise(self):
+        import jax
+
+        from hilo_mpc_tpu.parallel import fused_closed_loop_fn
+
+        P = [1.0] * 6
+        plant = cstr_schaffner_and_zeitz()
+        plant.setup(dt=0.1, integration_method="rk4")
+        nmpc = make_nmpc(N=8)
+        run = fused_closed_loop_fn(nmpc, plant, steps=10, plant_p=np.array(P),
+                                   process_noise_std=np.array([0.01, 0.01]))
+        x0s = np.tile(np.array([0.2, 0.1]), (4, 1))
+        res = run(x0s, key=jax.random.PRNGKey(0))
+        X = np.asarray(res.X)
+        # noise differentiates identical initial conditions
+        assert np.std(X[:, -1, 0]) > 1e-4
