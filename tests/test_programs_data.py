@@ -167,3 +167,48 @@ class TestSeriesIO:
         noisy = ts.make_some_noise("y", std=0.1, seed=0)
         assert noisy.shape == (1, 50)
         assert not np.allclose(noisy, ts["y"])
+
+
+class TestAOTExport:
+    def test_model_step_roundtrip(self, tmp_path):
+        from hilo_mpc_tpu import Model
+        from hilo_mpc_tpu.utils.aot import export_model_step, load_function
+        import jax.numpy as jnp
+
+        m = Model()
+        m.set_dynamical_states("x")
+        m.set_inputs("u")
+        m.set_dynamical_equations(lambda x, u: -x + u)
+        m.setup(dt=0.1, integration_method="rk4")
+        path = export_model_step(m, str(tmp_path / "step.bin"))
+        fn = load_function(path)
+        x1, z1, y1, q1 = fn(jnp.array([1.0], jnp.float32), jnp.zeros(0, jnp.float32),
+                            jnp.array([0.0], jnp.float32), jnp.zeros(0, jnp.float32))
+        np.testing.assert_allclose(np.asarray(x1)[0], np.exp(-0.1), atol=1e-6)
+
+    def test_nmpc_solver_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from hilo_mpc_tpu import NMPC, Model
+        from hilo_mpc_tpu.utils.aot import export_nmpc_solver, load_function
+
+        m = Model()
+        m.set_dynamical_states("x")
+        m.set_inputs("u")
+        m.set_dynamical_equations(lambda x, u: -x + u)
+        nmpc = NMPC(m)
+        nmpc.horizon = 5
+        nmpc.quad_stage_cost.add_states(weights=1.0, ref=[1.0])
+        nmpc.quad_stage_cost.add_inputs(weights=0.1)
+        nmpc.setup(options={"dt": 0.2})
+        path = export_nmpc_solver(nmpc, str(tmp_path / "solver.bin"))
+        fn = load_function(path)
+        theta = nmpc._assemble_theta(None, None, None)
+        dtype = nmpc._solver_dtype
+        xs0 = jnp.zeros(1, dtype)
+        Xi = jnp.zeros((6, 1), dtype)
+        Ui = jnp.zeros((5, 1), dtype)
+        X, U, conv, kkt = fn(jnp.asarray(theta, dtype), xs0, Xi, Ui)
+        assert bool(conv)
+        u_live = nmpc.optimize([0.0])
+        np.testing.assert_allclose(np.asarray(U)[0], u_live, atol=1e-8)
