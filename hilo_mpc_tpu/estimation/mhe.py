@@ -265,6 +265,73 @@ class MovingHorizonEstimator(Estimator):
     def window_full(self) -> bool:
         return len(self._y_history) >= (self._horizon or 0) + 1
 
+    # -- batched windows (TPU-native addition; BASELINE north star) ------------
+    def _theta_batch(self, Ys, Us, x_arrivals, p_vec):
+        m = self._model
+        B, N = Ys.shape[0], self._horizon
+        nx, n_pe = m.n_x, len(self._est_params)
+        off_u, off_y, off_p, off_ax, off_ap = self._offsets
+        theta = np.zeros((B, N + 1, self._n_theta))
+        theta[:, :, 0] = self._dt * np.arange(N + 1)[None, :]
+        # interval inputs lead by one within the window (see estimate())
+        us_int = np.concatenate([Us[:, 1:], Us[:, -1:]], axis=1)
+        theta[:, :, off_u:off_u + m.n_u] = us_int
+        theta[:, :, off_y:off_y + m.n_y] = Ys
+        theta[:, :, off_p:off_p + m.n_p] = p_vec[None, None, :]
+        theta[:, :, off_ax:off_ax + nx] = x_arrivals[:, None, :]
+        if n_pe:
+            theta[:, :, off_ap:off_ap + n_pe] = self._p_arrival[None, None, :]
+        theta[:, 0, -1] = 1.0
+        return theta
+
+    def estimate_batch(self, Ys, Us=None, x_arrivals=None, p=None):
+        """Solve B independent MHE windows at once.
+
+        Ys: (B, N+1, n_y) measurement windows; Us: (B, N+1, n_u) inputs, paired
+        like estimate(): row k's input is the one whose application produced row
+        k's measurement. x_arrivals: (B, nx) arrival means.
+        Returns (x_est (B, nx), OCPSolution).
+        """
+        if not self._setup_done:
+            raise RuntimeError("call setup() first")
+        m = self._model
+        N = self._horizon
+        nx, n_pe = m.n_x, len(self._est_params)
+        Ys = np.asarray(Ys, dtype=float)
+        B = Ys.shape[0]
+        if Ys.shape[1:] != (N + 1, m.n_y):
+            raise ValueError(f"Ys shape {Ys.shape}, expected "
+                             f"(B, {N + 1}, {m.n_y})")
+        Us = (np.zeros((B, N + 1, m.n_u)) if Us is None
+              else np.asarray(Us, dtype=float))
+        if x_arrivals is None:
+            x_arrivals = np.tile(
+                (self._x0 if self._x0 is not None else np.zeros(nx)), (B, 1))
+        x_arrivals = np.asarray(x_arrivals, dtype=float)
+        if (p is None and self._p_values is None
+                and len(self._est_params) == m.n_p):
+            p_vec = np.zeros(m.n_p)
+        else:
+            p_vec = self._p_or_default(p)
+        theta = self._theta_batch(Ys, Us, x_arrivals, p_vec)
+        dtype = self._solver_dtype
+        xs0 = np.concatenate(
+            [x_arrivals, np.tile(self._p_arrival[:n_pe], (B, 1))], axis=1)
+        X_init = np.tile(xs0[:, None, :], (1, N + 1, 1))
+        U_init = np.zeros((B, N, nx))
+        if getattr(self, "_solve_batch_jit", None) is None:
+            solver = partial(solve_ocp, self._funcs, self._dims,
+                             options=IPOptions(max_iter=40, tol=1e-7,
+                                               mu_init=1e-2), fix_x0=False)
+            bounds = self._bounds
+            self._solve_batch_jit = jax.jit(jax.vmap(
+                lambda th, x0s, Xi, Ui: solver(bounds, th, x0s, Xi, Ui)))
+        sol = self._solve_batch_jit(
+            jnp.asarray(theta, dtype), jnp.asarray(xs0, dtype),
+            jnp.asarray(X_init, dtype), jnp.asarray(U_init, dtype))
+        x_est = np.asarray(sol.X)[:, -1, :nx]
+        return x_est, sol
+
     # -- solve -----------------------------------------------------------------
     def estimate(self, y=None, u=None, p=None):
         """Add an optional new measurement, then solve the window problem.

@@ -184,3 +184,31 @@ class TestMHE:
                 _, p_hat = res
         assert p_hat is not None
         assert abs(p_hat[0] - 0.7) < 0.02
+
+
+class TestBatchedMHE:
+    def test_batched_windows_match_sequential(self):
+        plant = pendulum()
+        X, U, Y = simulate_noisy(plant, [0.5, 0.0], steps=30, meas_std=0.005)
+        N = 10
+        mhe = MHE(pendulum())
+        mhe.horizon = N
+        mhe.Q = 1e-5
+        mhe.R = 1e-4
+        mhe.P0 = np.eye(2) * 0.2
+        mhe.setup(dt=0.05)
+        mhe.set_initial_guess([0.4, 0.1])
+        # build 4 overlapping windows from the same run; pair rows like estimate():
+        # window row k holds (y_{start+k}, u applied after that measurement)
+        starts = [0, 5, 10, 15]
+        Ys = np.stack([Y[s:s + N + 1] for s in starts])
+        # estimate() pairing: row k = (y_k, the u whose application produced y_k);
+        # simulate gives Y[j] produced by U[j], so rows align at the same index
+        Us = np.stack([U[s:s + N + 1] for s in starts])
+        x_arr = np.stack([X[s] for s in starts])
+        x_est, sol = mhe.estimate_batch(Ys, Us, x_arrivals=x_arr)
+        assert x_est.shape == (4, 2)
+        assert bool(np.asarray(sol.converged).all())
+        # each window's estimate should be near the true state at its end
+        x_true = np.stack([X[s + N] for s in starts])
+        assert np.max(np.abs(x_est - x_true)) < 0.05
