@@ -201,3 +201,44 @@ class TestParallelRiccati:
         assert bool(sol_par.converged)
         np.testing.assert_allclose(np.asarray(sol_par.U), np.asarray(sol_seq.U),
                                    atol=1e-7)
+
+
+class TestRobustness:
+    def test_nan_dynamics_reports_diverged(self):
+        # dynamics that blow up to NaN must freeze the lane and report status 2,
+        # not poison the batch (SURVEY §5: per-scenario failure masks)
+        def bad_dyn(x, u, th):
+            return x * jnp.exp(x * 50.0) + u  # overflows for x ~ 1.5
+
+        funcs = OCPFunctions(
+            dyn=bad_dyn,
+            stage_cost=lambda x, u, th: jnp.sum(x ** 2) + jnp.sum(u ** 2),
+            term_cost=lambda x, th: jnp.sum(x ** 2))
+        dims = OCPDims(nx=1, nu=1, N=5)
+        inf = np.inf
+        bounds = OCPBounds(lbx=jnp.full((6, 1), -inf), ubx=jnp.full((6, 1), inf),
+                           lbu=jnp.full((5, 1), -inf), ubu=jnp.full((5, 1), inf))
+        sol = solve_ocp(funcs, dims, bounds, jnp.zeros((6, 1)),
+                        jnp.array([1.5]), jnp.full((6, 1), 1.5),
+                        jnp.zeros((5, 1)), IPOptions(max_iter=20))
+        assert int(sol.status) in (1, 2)
+        assert np.all(np.isfinite(np.asarray(sol.U)))
+
+    def test_one_bad_lane_does_not_poison_batch(self):
+        funcs = _funcs()
+        dims = OCPDims(nx=NX, nu=NU, N=N)
+        inf = np.inf
+        bounds = OCPBounds(
+            lbx=jnp.full((N + 1, NX), -inf), ubx=jnp.full((N + 1, NX), inf),
+            lbu=jnp.full((N, NU), -0.6), ubu=jnp.full((N, NU), 0.6))
+        x0s = jnp.asarray(np.vstack([np.tile(X0, (3, 1)),
+                                     [[1e12, -1e12]]]))  # lane 3 absurd
+        theta = jnp.zeros((4, N + 1, 2))
+        Xi = jnp.tile(x0s[:, None, :], (1, N + 1, 1))
+        Ui = jnp.zeros((4, N, NU))
+        sol = jax.vmap(lambda th, x0, X, U: solve_ocp(
+            funcs, dims, bounds, th, x0, X, U, IPOptions(max_iter=40)))(
+            theta, x0s, Xi, Ui)
+        conv = np.asarray(sol.converged)
+        assert conv[:3].all()          # healthy lanes converge regardless
+        assert np.all(np.isfinite(np.asarray(sol.U[:3])))

@@ -223,3 +223,38 @@ class TestBatched:
         solo.setup(options={"dt": 0.1})
         u3 = solo.optimize(x0s[3])
         np.testing.assert_allclose(u_batch[3], u3, atol=1e-6)
+
+
+class TestPrecisionParity:
+    def test_f32_solve_within_control_deviation_budget(self):
+        # BASELINE.json target: <1e-4 control deviation vs the f64 (IPOPT-class)
+        # solution. The solver takes its dtype from the initial-trajectory arrays.
+        import jax.numpy as jnp
+        from functools import partial
+
+        from hilo_mpc_tpu.ops.ip_solver import solve_ocp
+        import dataclasses
+
+        nmpc = make_cstr_nmpc(N=20, u_lb=-5.0, u_ub=5.0)
+        nmpc.setup(options={"dt": 0.1})
+        rng = np.random.default_rng(0)
+        x0s = np.array(CSTR_X0) + 0.05 * rng.standard_normal((8, 2))
+        args64 = nmpc.prepare_batch(x0s)
+        # 3e-5 KKT tolerance: reliably reachable in f32, far inside the 1e-4
+        # control-deviation budget
+        opts32 = dataclasses.replace(nmpc._ip_opts, tol=3e-5)
+        solver = lambda opts: partial(solve_ocp, nmpc._funcs, nmpc._dims,
+                                      options=opts, fix_x0=True)
+        import jax
+
+        sol64 = jax.vmap(lambda th, x0, X, U: solver(nmpc._ip_opts)(
+            nmpc._bounds, th, x0, X, U))(*args64)
+        args32 = tuple(jnp.asarray(a, jnp.float32) for a in args64)
+        bounds32 = type(nmpc._bounds)(*[jnp.asarray(b, jnp.float32)
+                                        for b in nmpc._bounds])
+        sol32 = jax.vmap(lambda th, x0, X, U: solver(opts32)(
+            bounds32, th, x0, X, U))(*args32)
+        assert bool(np.asarray(sol32.converged).all())
+        dev = np.abs(np.asarray(sol32.U[:, 0], dtype=np.float64)
+                     - np.asarray(sol64.U[:, 0]))
+        assert dev.max() < 1e-4, f"f32 control deviation {dev.max():.2e}"
