@@ -11,7 +11,7 @@ through the per-stage parameter vector theta.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence, Union
+from typing import Callable, List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -8,7 +8,6 @@ maps between plant and controller models mirror control_loop.py:76-91.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Union
 
 import numpy as np
 

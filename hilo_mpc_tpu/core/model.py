@@ -21,7 +21,7 @@ import numpy as np
 
 from .integrators import IntegratorSpec, make_step
 from .series import TimeSeries
-from .variables import VarSpec, _as_name_list
+from .variables import VarSpec
 
 Array = jnp.ndarray
 

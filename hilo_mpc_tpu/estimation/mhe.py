@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.integrators import IntegratorSpec, make_step
-from ..core.series import TimeSeries
 from ..ops.ip_solver import (IPOptions, OCPBounds, OCPDims, OCPFunctions,
                              solve_ocp)
 from .base import Estimator, _as_cov

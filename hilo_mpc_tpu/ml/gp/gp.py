@@ -11,7 +11,7 @@ needed).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Union
 
 import jax
 import jax.numpy as jnp

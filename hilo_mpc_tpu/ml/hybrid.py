@@ -9,7 +9,6 @@ substitution is plain function composition — no symbolic graph surgery.
 """
 from __future__ import annotations
 
-from typing import List
 
 import jax.numpy as jnp
 import numpy as np

@@ -7,7 +7,6 @@ search space, and an optional prior contributes its log-pdf to the fit objective
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 

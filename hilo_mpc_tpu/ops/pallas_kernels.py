@@ -12,7 +12,6 @@ FGM: u+ = clip(y - (1/L)(H y + g));  y+ = u+ + beta (u+ - u).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

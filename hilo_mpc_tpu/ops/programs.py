@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.model import wrap_rhs
 
 
 @dataclasses.dataclass(frozen=True)

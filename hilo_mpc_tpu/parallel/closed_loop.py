@@ -10,7 +10,7 @@ carry exactly as they do step-to-step in deployment.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

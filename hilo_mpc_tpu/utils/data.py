@@ -8,7 +8,7 @@ delta, or difference-quotient outputs — feeding ANN/GP training.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Optional
 
 
 @contextlib.contextmanager
