@@ -38,6 +38,7 @@ class PID:
         self._dt = 1.0
         self._setup_done = False
         self._pv_window = np.zeros((self._n, 3))
+        self._sp_window = np.zeros((self._n, 3))
         self._u = np.zeros(self._n)
         self.solution: Optional[TimeSeries] = None
 
@@ -83,6 +84,7 @@ class PID:
         self._dt = float(dt)
         self._setup_done = True
         self._pv_window = np.zeros((self._n, 3))
+        self._sp_window = np.zeros((self._n, 3))
         self._u = np.zeros(self._n)
         self.solution = TimeSeries()
         self.solution.register("x", [f"pv_{i}" for i in range(self._n)])
@@ -104,8 +106,13 @@ class PID:
         lb, ub = self._u_bounds
 
         def step(carry, pv, sp):
-            u, e1, e2, pv1, pv2 = carry
+            # carry: (u, pv1, pv2, sp1, sp2) — setpoints are windowed like the
+            # reference (pid.py:255 sp is a 3-column history) so errors pair each
+            # pv with ITS setpoint and setpoint steps kick the error form
+            u, pv1, pv2, sp1, sp2 = carry
             e = sp - pv
+            e1 = sp1 - pv1
+            e2 = sp2 - pv2
             if p_on_pv:
                 delta = -(pv - pv1)
             else:
@@ -116,7 +123,7 @@ class PID:
             else:
                 delta = delta + td / dt * (e - 2 * e1 + e2)
             u_new = jnp.clip(u + kp * delta, lb, ub)
-            return (u_new, e, e1, pv, pv1), u_new
+            return (u_new, pv, pv1, sp, sp1), u_new
 
         return step
 
@@ -129,11 +136,14 @@ class PID:
         pv = np.broadcast_to(np.asarray(pv, dtype=float).ravel(), (self._n,))
         self._pv_window = np.roll(self._pv_window, -1, axis=1)
         self._pv_window[:, -1] = pv
+        self._sp_window = np.roll(self._sp_window, -1, axis=1)
+        self._sp_window[:, -1] = self._set_point
         pv_k, pv_1, pv_2 = (self._pv_window[:, 2], self._pv_window[:, 1],
                             self._pv_window[:, 0])
-        e_k = self._set_point - pv_k
-        e_1 = self._set_point - pv_1
-        e_2 = self._set_point - pv_2
+        # pair each pv with the setpoint that was active when it was measured
+        e_k = self._sp_window[:, 2] - pv_k
+        e_1 = self._sp_window[:, 1] - pv_1
+        e_2 = self._sp_window[:, 0] - pv_2
         if self._p_on_pv:
             delta = -(pv_k - pv_1)
         else:

@@ -81,17 +81,23 @@ typedef struct {{
     double u[N_LOOPS];
     double pv1[N_LOOPS];
     double pv2[N_LOOPS];
+    double sp1[N_LOOPS];
+    double sp2[N_LOOPS];
 }} pid_state;
 
 void pid_init(pid_state *st) {{
-    for (int i = 0; i < N_LOOPS; ++i) {{ st->u[i] = 0.0; st->pv1[i] = 0.0; st->pv2[i] = 0.0; }}
+    for (int i = 0; i < N_LOOPS; ++i) {{
+        st->u[i] = 0.0; st->pv1[i] = 0.0; st->pv2[i] = 0.0;
+        st->sp1[i] = 0.0; st->sp2[i] = 0.0;
+    }}
 }}
 
 void pid_step(pid_state *st, const double *pv, const double *sp, double *u_out) {{
     for (int i = 0; i < N_LOOPS; ++i) {{
+        /* windowed setpoints: each pv pairs with the sp active at its time */
         double e  = sp[i] - pv[i];
-        double e1 = sp[i] - st->pv1[i];
-        double e2 = sp[i] - st->pv2[i];
+        double e1 = st->sp1[i] - st->pv1[i];
+        double e2 = st->sp2[i] - st->pv2[i];
         double delta = P_ON_PV ? -(pv[i] - st->pv1[i]) : (e - e1);
         delta += DT / T_I[i] * e;
         if (D_ON_PV)
@@ -104,6 +110,8 @@ void pid_step(pid_state *st, const double *pv, const double *sp, double *u_out) 
         st->u[i] = u;
         st->pv2[i] = st->pv1[i];
         st->pv1[i] = pv[i];
+        st->sp2[i] = st->sp1[i];
+        st->sp1[i] = sp[i];
         u_out[i] = u;
     }}
 }}
@@ -119,7 +127,9 @@ def load_pid(so_path: str, n_loops: int):
     class PidState(ctypes.Structure):
         _fields_ = [("u", ctypes.c_double * n_loops),
                     ("pv1", ctypes.c_double * n_loops),
-                    ("pv2", ctypes.c_double * n_loops)]
+                    ("pv2", ctypes.c_double * n_loops),
+                    ("sp1", ctypes.c_double * n_loops),
+                    ("sp2", ctypes.c_double * n_loops)]
 
     state = PidState()
     lib.pid_init(ctypes.byref(state))

@@ -105,6 +105,10 @@ class GaussianProcess:
                 lb = np.log(lb) if hp.positive else lb
                 ub = np.log(ub) if hp.positive else ub
                 bounds += [(lb, ub)] * len(w)
+            elif hp.positive:
+                # keep log-space parameters representable: exp(-35) underflows to
+                # exactly 0.0 and would violate positivity when written back
+                bounds += [(-30.0, 30.0)] * len(w)
             else:
                 bounds += [(None, None)] * len(w)
         return (np.concatenate(w0) if w0 else np.zeros(0)), specs, bounds

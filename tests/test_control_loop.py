@@ -96,16 +96,18 @@ class TestLQRPID:
         assert np.linalg.norm(plant.solution["x:f"]) < 1e-2
 
     def test_pid_velocity_form(self):
-        # velocity form: pure-P output responds to error *changes* only
+        # velocity form with windowed setpoints (reference keeps a 3-sample sp
+        # history): the setpoint step kicks once, then output holds while the
+        # error is constant
         pid = PID(k_p=2.0, t_i=np.inf, t_d=0.0)
         pid.setup(dt=0.1)
         pid.set_point = [1.0]
-        u1 = pid.call([0.0])          # error unchanged vs zero-seeded window
-        np.testing.assert_allclose(u1, [0.0])
-        u2 = pid.call([-1.0])         # error 1 -> 2: du = kp * 1
+        u1 = pid.call([0.0])          # sp stepped 0 -> 1: du = kp * 1
+        np.testing.assert_allclose(u1, [2.0])
+        u2 = pid.call([0.0])          # error unchanged: output held
         np.testing.assert_allclose(u2, [2.0])
-        u3 = pid.call([-1.0])         # unchanged again: output held
-        np.testing.assert_allclose(u3, [2.0])
+        u3 = pid.call([-1.0])         # error 1 -> 2: another kp * 1
+        np.testing.assert_allclose(u3, [4.0])
 
     def test_pid_integral_action_removes_offset(self):
         # first-order plant x+ = x + dt*(-x + u) controlled by PI
