@@ -36,7 +36,7 @@ _NLP_OPTION_KEYS = {
     "integration_method", "degree", "collocation_scheme", "substeps",
     "newton_iters", "max_iter", "tol", "mu_init", "warm_start", "print_level",
     "dt", "convexify", "n_linesearch", "early_exit", "u_pf_lb", "u_pf_ub",
-    "ipopt_debugger", "parallel_riccati",
+    "ipopt_debugger", "parallel_riccati", "mehrotra",
 }
 
 
@@ -542,6 +542,9 @@ class NMPC:
             # solves (measured on v5e: at B>=256 the chip is already saturated
             # by the batch, and the scan's extra flops lose 4-15x)
             parallel_riccati=options.get("parallel_riccati", False),
+            # ~30% fewer IP iterations at identical solutions (ignored by the
+            # solver when equality constraints are present)
+            mehrotra=options.get("mehrotra", True),
         )
         self._ip_opts = ip_opts
         self._warm_start = options.get("warm_start", True)

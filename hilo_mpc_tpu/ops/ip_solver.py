@@ -99,6 +99,7 @@ class IPOptions:
     rho_eq_max: float = 1e7
     record_iterates: bool = False  # keep per-iteration (X, U, kkt, mu, obj) history
     parallel_riccati: bool = False  # O(log N)-depth associative-scan KKT solve
+    mehrotra: bool = False       # predictor-corrector with adaptive centering
 
 
 class OCPSolution(NamedTuple):
@@ -484,41 +485,74 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         sigmaN = jnp.where(maskN, zN / sN, 0.0)
         r_ineq = (c + s) * mask_f
         r_ineqN = (cN + sN) * maskN_f
-        zhat = jnp.where(mask, (mu + z * r_ineq) / s, 0.0)
-        zhatN = jnp.where(maskN, (mu + zN * r_ineqN) / sN, 0.0)
 
+        # barrier-condensed Hessian blocks (shared by predictor and corrector)
         Qb = Hxx + jnp.einsum("kmi,km,kmj->kij", Cx, sigma, Cx)
         Rb = (Huu + jnp.einsum("kmi,km,kmj->kij", Cu, sigma, Cu)
               + jnp.einsum("km,mn->kmn", w_pin * pin_f,
                            jnp.eye(nu, dtype=dtype)))
         Sb = Hux + jnp.einsum("kmi,km,kmj->kij", Cu, sigma, Cx)
-        qb = gx + jnp.einsum("kmi,km->ki", Cx, zhat)
-        rb = (gu + jnp.einsum("kmi,km->ki", Cu, zhat)
-              + w_pin * pin_f * (U - pin_val))
         P_term = HN + jnp.einsum("mi,m,mj->ij", CxN, sigmaN, CxN)
-        p_term = gN + CxN.T @ zhatN
-
         r_dyn = F - X[1:]
-        if fix_x0:
-            dx0 = jnp.zeros(nx, dtype)
-        else:
-            # free initial state: choose dx0 minimizing the value function at stage 0
-            _, _, P0, p0, _, _, _ = backward_sweep(
-                A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term, opt.reg)
-            dx0 = -jnp.linalg.solve(
-                P0 + opt.reg * jnp.eye(nx, dtype=dtype), p0)
         lq_solver = solve_lq_parallel if opt.parallel_riccati else solve_lq
-        sol = lq_solver(A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term, dx0,
-                        reg=opt.reg)
-        dX, dU, lam_new = sol.dX, sol.dU, sol.lam
 
-        dC = (jnp.einsum("kmi,ki->km", Cx, dX[:-1])
-              + jnp.einsum("kmi,ki->km", Cu, dU))
-        dCN = CxN @ dX[-1]
-        ds = jnp.where(mask, -r_ineq - dC, 0.0)
-        dsN = jnp.where(maskN, -r_ineqN - dCN, 0.0)
-        dz = jnp.where(mask, (mu - s * z - z * ds) / s, 0.0)
-        dzN = jnp.where(maskN, (mu - sN * zN - zN * dsN) / sN, 0.0)
+        def newton_step(mu_t, corr, corrN):
+            """One barrier-Newton solve targeting complementarity mu_t with an
+            optional second-order correction term (Mehrotra)."""
+            zh = jnp.where(mask, (mu_t + z * r_ineq - corr) / s, 0.0)
+            zhN = jnp.where(maskN, (mu_t + zN * r_ineqN - corrN) / sN, 0.0)
+            qb = gx + jnp.einsum("kmi,km->ki", Cx, zh)
+            rb = (gu + jnp.einsum("kmi,km->ki", Cu, zh)
+                  + w_pin * pin_f * (U - pin_val))
+            p_term = gN + CxN.T @ zhN
+            if fix_x0:
+                dx0 = jnp.zeros(nx, dtype)
+            else:
+                # free initial state: dx0 minimizes the stage-0 value function
+                _, _, P0, p0, _, _, _ = backward_sweep(
+                    A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term, opt.reg)
+                dx0 = -jnp.linalg.solve(
+                    P0 + opt.reg * jnp.eye(nx, dtype=dtype), p0)
+            sol = lq_solver(A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term,
+                            dx0, reg=opt.reg)
+            dC = (jnp.einsum("kmi,ki->km", Cx, sol.dX[:-1])
+                  + jnp.einsum("kmi,ki->km", Cu, sol.dU))
+            dCN = CxN @ sol.dX[-1]
+            ds_ = jnp.where(mask, -r_ineq - dC, 0.0)
+            dsN_ = jnp.where(maskN, -r_ineqN - dCN, 0.0)
+            dz_ = jnp.where(mask, (mu_t - s * z - z * ds_ - corr) / s, 0.0)
+            dzN_ = jnp.where(maskN, (mu_t - sN * zN - zN * dsN_ - corrN) / sN,
+                             0.0)
+            return sol, ds_, dz_, dsN_, dzN_
+
+        zero = jnp.zeros((), dtype)
+        # Mehrotra's fast gap collapse fights the augmented-Lagrangian outer loop
+        # (multiplier updates key off the monotone barrier schedule) — use the
+        # predictor-corrector only for inequality-constrained problems
+        if opt.mehrotra and not (has_eq or has_eqN):
+            # affine predictor (target 0 complementarity)
+            _, ds_a, dz_a, dsN_a, dzN_a = newton_step(zero, zero, zero)
+
+            def ftb(v, dv, msk):
+                ratio = jnp.where((dv < 0) & msk,
+                                  -v / jnp.minimum(dv, -1e-30), 1.0)
+                return jnp.minimum(1.0, jnp.min(ratio, initial=1.0))
+
+            a_p = jnp.minimum(ftb(s, ds_a, mask), ftb(sN, dsN_a, maskN))
+            a_d = jnp.minimum(ftb(z, dz_a, mask), ftb(zN, dzN_a, maskN))
+            m_tot = jnp.maximum(jnp.sum(mask_f) + jnp.sum(maskN_f), 1.0)
+            gap = (jnp.sum(s * z * mask_f) + jnp.sum(sN * zN * maskN_f)) / m_tot
+            gap_aff = (jnp.sum((s + a_p * ds_a) * (z + a_d * dz_a) * mask_f)
+                       + jnp.sum((sN + a_p * dsN_a) * (zN + a_d * dzN_a)
+                                 * maskN_f)) / m_tot
+            sig_m = jnp.clip((gap_aff / jnp.maximum(gap, 1e-30)) ** 3, 0.0, 1.0)
+            mu = jnp.maximum(sig_m * gap, opt.tol / 10.0)
+            corr = ds_a * dz_a * mask_f
+            corrN = dsN_a * dzN_a * maskN_f
+            sol, ds, dz, dsN, dzN = newton_step(mu, corr, corrN)
+        else:
+            sol, ds, dz, dsN, dzN = newton_step(mu, zero, zero)
+        dX, dU, lam_new = sol.dX, sol.dU, sol.lam
 
         # fraction-to-boundary
         tau = jnp.maximum(opt.tau_min, 1.0 - mu)
