@@ -113,3 +113,27 @@ class TestDebugger:
         assert hist["kkt"][n - 1] < hist["kkt"][0]
         fig = nmpc.plot_iterations(save_as=str(tmp_path / "iters.png"))
         assert (tmp_path / "iters.png").exists()
+
+
+class TestSwingUp:
+    def test_cartpole_swingup_plan(self):
+        # hard nonconvex problem: hanging -> upright with force and track limits
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "swingup_example",
+            os.path.join(os.path.dirname(__file__), "..", "examples",
+                         "07_cartpole_swingup.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        # N=60 (3 s horizon): validated swing-up configuration
+        nmpc = mod.build_controller(N=60, dt=0.05)
+        nmpc.optimize([0.0, np.pi, 0.0, 0.0], runs=6, seed=0)
+        assert nmpc.stats["converged"], nmpc.stats
+        X = nmpc.return_prediction()["x"]
+        U = nmpc.return_prediction()["u"]
+        # pendulum ends near upright, cart stays on the track, force within limits
+        assert abs(X[-1, 1]) < 0.2
+        assert np.all(np.abs(X[:, 0]) <= 2.0 + 1e-6)
+        assert np.all(np.abs(U) <= 15.0 + 1e-6)
