@@ -776,6 +776,34 @@ class NMPC:
             self.solution.append(self._time, x=x0, u=u0)
         return u0
 
+    def __str__(self):
+        feats = []
+        if self._setup_done:
+            feats.append(f"N={self._horizon}")
+            if self.control_horizon != self._horizon:
+                feats.append(f"Nc={self.control_horizon}")
+            feats.append(f"dt={self._dt}")
+            if self._augment_du:
+                feats.append("du-augmented")
+            if self._path_following:
+                feats.append("path-following")
+            if self._min_time is not None:
+                feats.append("min-time")
+            if self._dims.n_e or self._dims.n_eN:
+                feats.append(f"equalities={self._dims.n_e + self._dims.n_eN}")
+            if self._dims.n_h or self._dims.n_hN:
+                feats.append(f"custom-ineqs={self._dims.n_h + self._dims.n_hN}")
+        state = ", ".join(feats) if feats else "not set up"
+        lines = [f"{self._controller_type} {self.name!r} on model "
+                 f"{self._model.name!r} ({state})"]
+        if self.stats:
+            lines.append(
+                f"  last solve: {'converged' if self.stats.get('converged') else 'NOT converged'}"
+                f" in {self.stats.get('iterations')} iterations, "
+                f"kkt={self.stats.get('kkt_error'):.2e}, "
+                f"{self.stats.get('extime', 0) * 1e3:.1f} ms")
+        return "\n".join(lines)
+
     def return_prediction(self):
         return self.last_prediction
 

@@ -767,6 +767,30 @@ class Model:
                 f"np={self.n_p}, ny={self.n_y}, "
                 f"{'discrete' if self._discrete else 'continuous'})")
 
+    def __str__(self):
+        """Human-readable summary table (reference prints PrettyTable summaries,
+        mpc.py:107-199 and Model.__str__)."""
+        rows = [("kind", "names")]
+        for kind, names in [("states", self._x.names),
+                            ("algebraic", self._z.names),
+                            ("inputs", self._u.names),
+                            ("parameters", self._p.names),
+                            ("measurements", self.measurements)]:
+            rows.append((kind, ", ".join(names) if names else "-"))
+        w0 = max(len(r[0]) for r in rows)
+        w1 = max(len(r[1]) for r in rows)
+        sep = "+" + "-" * (w0 + 2) + "+" + "-" * (w1 + 2) + "+"
+        lines = [f"Model {self.name!r} "
+                 f"({'discrete' if self._discrete else 'continuous'}"
+                 f"{', set up, dt=' + str(self._dt) if self._setup_done else ''})",
+                 sep]
+        for i, (a, b) in enumerate(rows):
+            lines.append(f"| {a:<{w0}} | {b:<{w1}} |")
+            if i == 0:
+                lines.append(sep)
+        lines.append(sep)
+        return "\n".join(lines)
+
     def __iter__(self):
         yield from {"x": self._x.names, "z": self._z.names, "u": self._u.names,
                     "p": self._p.names, "y": self.measurements}.items()
