@@ -579,6 +579,11 @@ class NMPC:
         self.solution = TimeSeries(model.time_unit)
         self.solution.register("x", model.dynamical_states)
         self.solution.register("u", model.inputs)
+        # structured per-step solver metrics (SURVEY §5: solve time, KKT residual,
+        # iterations as arrays — the reference stores extime/niterations when
+        # stats=True, mpc.py:815-835)
+        self.solution.register("stats", ["iterations", "kkt_error", "extime_ms",
+                                         "converged"])
         self._setup_done = True
         self._time = 0.0
         self._step_count = 0
@@ -773,8 +778,27 @@ class NMPC:
             "extime": _time.perf_counter() - t_wall,
         }
         if self.solution is not None:
-            self.solution.append(self._time, x=x0, u=u0)
+            self.solution.append(
+                self._time, x=x0, u=u0,
+                stats=np.array([self.stats["iterations"],
+                                self.stats["kkt_error"],
+                                self.stats["extime"] * 1e3,
+                                float(self.stats["converged"])]))
         return u0
+
+    def print_stats(self):
+        """Per-step solver statistics summary (p50/p99 solve time, iterations,
+        convergence rate) over the recorded closed-loop run."""
+        st = self.solution.get("stats") if self.solution is not None else None
+        if st is None or st.shape[1] == 0:
+            print("no recorded solves")
+            return
+        it, kkt, ms, conv = st
+        print(f"solves: {it.size} | converged {100 * np.nanmean(conv):.1f}% | "
+              f"iterations p50={np.nanmedian(it):.0f} max={np.nanmax(it):.0f} | "
+              f"solve time p50={np.nanpercentile(ms, 50):.1f} ms "
+              f"p99={np.nanpercentile(ms, 99):.1f} ms | "
+              f"kkt p50={np.nanmedian(kkt):.2e}")
 
     def __str__(self):
         feats = []
