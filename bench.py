@@ -23,7 +23,10 @@ def main():
     # solves/s; default to the knee of the curve
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    _run(ge, jax, dev, B, reps)
 
+
+def _run(ge, jax, dev, B, reps):
     nmpc = ge._build_nmpc(N=20, tol=1e-4, max_iter=25)
     import jax.numpy as jnp
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -78,4 +81,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # degraded compile helper / OOM: retry smaller
+        print(f"# bench failed at default batch ({type(e).__name__}: {e}); "
+              f"retrying B=512", file=sys.stderr)
+        import jax
+
+        import __graft_entry__ as ge
+
+        _run(ge, jax, jax.devices()[0], 512, 2)
