@@ -46,6 +46,11 @@ class SimpleControlLoop:
             return np.atleast_1d(np.asarray(c.optimize(x_c)))
         if hasattr(c, "call"):
             return np.atleast_1d(np.asarray(c.call(x0)))
+        if hasattr(c, "predict"):
+            # trained ANN/GP policy (reference supports ANN controllers,
+            # control_loop.py:372-377)
+            out = np.asarray(c.predict(np.atleast_2d(x0)))
+            return np.atleast_1d(out[0] if out.ndim > 1 else out)
         if callable(c):
             return np.atleast_1d(np.asarray(c(x0)))
         raise TypeError(f"unsupported controller {type(c).__name__}")

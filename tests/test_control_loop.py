@@ -182,3 +182,34 @@ class TestLoop:
         loop = SimpleControlLoop(plant, lambda x: -(K @ x))
         loop.run(80)
         assert np.linalg.norm(plant.solution["x:f"]) < 5e-2
+
+
+class TestMoreControllers:
+    def test_ann_object_as_controller(self):
+        from hilo_mpc_tpu import ANN, Dense
+
+        plant = double_integrator()
+        plant.setup(dt=0.1)
+        plant.set_initial_conditions([1.0, 0.0])
+        # teach a stabilizing linear policy u = -K x to an ANN
+        rng = np.random.default_rng(0)
+        K = np.array([2.0, 2.1])
+        X = rng.uniform(-2, 2, size=(600, 2))
+        ann = ANN(["pos", "vel"], ["u"])
+        ann.add_layers(Dense(16, activation="tanh"))
+        ann.train(batch_size=64, epochs=250, X=X, y=-(X @ K), patience=100)
+        loop = SimpleControlLoop(plant, ann)
+        loop.run(80)
+        assert np.linalg.norm(plant.solution["x:f"]) < 0.1
+
+    def test_model_generate_data(self):
+        m = Model()
+        m.set_dynamical_states("x")
+        m.set_inputs("u")
+        m.set_dynamical_equations(lambda x, u: -x + u)
+        m.setup(dt=0.1, integration_method="rk4")
+        m.set_initial_conditions([0.0])
+        ds = m.generate_data(kind="random_uniform", steps=30, lb=-1.0, ub=1.0,
+                             seed=0)
+        assert ds.n_samples == 30
+        assert ds.features == ["x", "u"]
