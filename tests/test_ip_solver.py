@@ -242,3 +242,35 @@ class TestRobustness:
         conv = np.asarray(sol.converged)
         assert conv[:3].all()          # healthy lanes converge regardless
         assert np.all(np.isfinite(np.asarray(sol.U[:3])))
+
+
+class TestPerScenarioBounds:
+    def test_bound_axes_vary_per_scenario(self):
+        from hilo_mpc_tpu.ops.ip_solver import solve_ocp_batched
+
+        funcs = _funcs()
+        dims = OCPDims(nx=NX, nu=NU, N=N)
+        Bn = 4
+        inf = np.inf
+        # each scenario gets its own control limit
+        u_lims = np.array([0.2, 0.4, 0.6, 5.0])
+        bounds = OCPBounds(
+            lbx=jnp.full((Bn, N + 1, NX), -inf),
+            ubx=jnp.full((Bn, N + 1, NX), inf),
+            lbu=-u_lims[:, None, None] * jnp.ones((Bn, N, NU)),
+            ubu=u_lims[:, None, None] * jnp.ones((Bn, N, NU)))
+        x0s = jnp.tile(jnp.asarray(X0)[None], (Bn, 1))
+        theta = jnp.zeros((Bn, N + 1, 2))
+        Xi = jnp.tile(x0s[:, None, :], (1, N + 1, 1))
+        Ui = jnp.zeros((Bn, N, NU))
+        sol = solve_ocp_batched(
+            funcs, dims, bounds, theta, x0s, Xi, Ui,
+            IPOptions(max_iter=60, tol=1e-8),
+            bound_axes=OCPBounds(lbx=0, ubx=0, lbu=0, ubu=0))
+        assert bool(np.asarray(sol.converged).all())
+        U = np.asarray(sol.U)
+        for i, lim in enumerate(u_lims):
+            assert np.max(np.abs(U[i])) <= lim + 1e-7
+        # tighter limits -> first move saturates at its own bound
+        assert abs(U[0, 0, 0]) == pytest.approx(0.2, abs=1e-6)
+        assert abs(U[1, 0, 0]) == pytest.approx(0.4, abs=1e-6)
