@@ -108,3 +108,48 @@ class TestSMPC:
         v_open = final_var(None)
         v_closed = final_var(np.array([[1.5, 1.2]]))
         assert v_closed < v_open
+
+
+class TestChanceConstraintMonteCarlo:
+    def test_violation_rate_within_level(self):
+        # closed loop under disturbances drawn from the fitted GP: the 95%
+        # back-off must keep the empirical per-step violation rate low
+        rng = np.random.default_rng(2)
+        gp = make_gp(seed=2, noise=0.02)
+        smpc = SMPC(make_model(), gps={"x2": gp}, dt=0.1)
+        smpc.horizon = 8
+        smpc.quad_stage_cost.add_states(names=["x1", "x2"], weights=[5.0, 1.0],
+                                        ref=[0.75, 0.0])
+        smpc.quad_stage_cost.add_inputs(weights=0.1)
+        smpc.set_box_constraints(u_lb=-3.0, u_ub=3.0)
+        smpc.set_box_chance_constraints(x_ub=[0.8, np.inf], level=0.95)
+        smpc.set_initial_covariance(np.eye(2) * 1e-6)
+        smpc.setup(options={"dt": 0.1})
+
+        import jax.numpy as jnp
+        gp_fn = gp.predict_fn()
+
+        def plant_step(x, u, w):
+            # true plant: nominal + GP-mean disturbance + residual noise scaled
+            # by the GP's predictive std (the uncertainty SMPC propagates)
+            dx = np.array([x[1], -0.5 * x[0] - 0.4 * x[1] + u[0]])
+            x_new = x + 0.1 * dx
+            mu_d, var_d = gp_fn(jnp.array([x[1]]))
+            x_new[1] += float(mu_d) + w * float(np.sqrt(var_d))
+            return x_new
+
+        n_steps, n_runs, violations, total = 12, 8, 0, 0
+        for run in range(n_runs):
+            x = np.array([0.0, 0.0])
+            smpc._warm = None
+            for k in range(n_steps):
+                u = smpc.optimize(x)
+                x = plant_step(x, u, rng.standard_normal())
+                total += 1
+                if x[0] > 0.8:
+                    violations += 1
+        rate = violations / total
+        # 95% level -> expect <=5% violations; allow sampling slack
+        assert rate <= 0.12, f"violation rate {rate:.2%}"
+        # and the constraint is actually active (mean approaches the bound)
+        assert smpc.return_prediction()["x"][:, 0].max() > 0.5
