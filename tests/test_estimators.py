@@ -212,3 +212,54 @@ class TestBatchedMHE:
         # each window's estimate should be near the true state at its end
         x_true = np.stack([X[s + N] for s in starts])
         assert np.max(np.abs(x_est - x_true)) < 0.05
+
+
+class TestEstimatorOptions:
+    def test_pf_roughening_spreads_particles(self):
+        plant = pendulum()
+        X, U, Y = simulate_noisy(plant, [0.5, 0.0], steps=10, meas_std=0.01)
+
+        def run(rough):
+            pf = PF(pendulum(), n_particles=200, roughening=rough, seed=0)
+            pf.Q = 1e-6   # tiny process noise: particle collapse without roughening
+            pf.R = 1e-4
+            pf.setup(dt=0.05)
+            pf.set_initial_guess([0.4, 0.1], P0=np.eye(2) * 0.05)
+            pf.estimate(Y, u=U)
+            return np.std(pf.particles, axis=0).sum()
+
+        assert run(True) > run(False)
+
+    def test_mhe_process_noise_bound(self):
+        # w_bound=0 forbids process noise: MHE reduces to trajectory fitting
+        plant = pendulum()
+        X, U, Y = simulate_noisy(plant, [0.5, 0.0], steps=15, meas_std=0.02)
+        mhe = MHE(pendulum())
+        mhe.horizon = 8
+        mhe.Q = 1e-4
+        mhe.R = 1e-4
+        mhe.set_box_constraints(w_bound=0.0)
+        mhe.setup(dt=0.05)
+        mhe.set_initial_guess([0.4, 0.1])
+        x_hat = None
+        for k in range(15):
+            res = mhe.estimate(y=Y[k], u=U[k])
+            if res is not None:
+                x_hat = res
+        assert x_hat is not None and np.all(np.isfinite(x_hat))
+        # recorded process noise is held near zero by the solver's stiff
+        # control pinning (w_pin=1e7 => residual ~ gradient/1e7)
+        w = mhe.solution.get("w")
+        assert np.nanmax(np.abs(w)) < 1e-3
+
+    def test_ukf_kappa_changes_weights(self):
+        ukf1 = UKF(pendulum(), alpha=1e-3, kappa=0.0)
+        ukf2 = UKF(pendulum(), alpha=0.5, kappa=2.0)
+        import jax.numpy as jnp
+
+        _, wm1, _ = ukf1._weights(2, jnp.float64)
+        _, wm2, _ = ukf2._weights(2, jnp.float64)
+        # weights always sum to one but differ with scaling parameters
+        np.testing.assert_allclose(float(wm1.sum()), 1.0, atol=1e-9)
+        np.testing.assert_allclose(float(wm2.sum()), 1.0, atol=1e-9)
+        assert not np.allclose(np.asarray(wm1), np.asarray(wm2))
