@@ -20,6 +20,9 @@ from ..core.series import TimeSeries
 
 
 class PID:
+    """Velocity-form (incremental) PID controller with multi-loop diagonal
+    tunings, P-on-PV/D-on-PV options, and windowed setpoints."""
+
     _controller_type = "PID"
 
     def __init__(self, n_set_points: int = 1, id: Optional[str] = None,

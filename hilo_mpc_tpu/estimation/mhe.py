@@ -48,6 +48,9 @@ class MHEQuadraticCost:
 
 
 class MovingHorizonEstimator(Estimator):
+    """Moving-horizon estimator: window NLP with free arrival state, arrival
+    cost updates, optional parameter estimation, and batched windows."""
+
     _estimator_type = "MHE"
 
     def __init__(self, model, **kwargs):

@@ -35,6 +35,9 @@ def lhsnorm(mean, cov, n: int, seed: int = 0) -> np.ndarray:
 
 
 class ParticleFilter(Estimator):
+    """SIR particle filter: vmapped particle propagation, Gaussian likelihoods,
+    systematic resampling, optional roughening, LHS initial sampling."""
+
     _estimator_type = "PF"
 
     def __init__(self, model, n_particles: int = 100, roughening: bool = False,
