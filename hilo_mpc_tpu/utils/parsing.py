@@ -7,7 +7,8 @@ algebraic equations, ``0 = ...`` implicit algebraic residuals, ``int = ...`` qua
 ``name = <number>`` constants, ``name = expr`` auxiliary substitutions, and
 ``name|unit:/label:/description:`` metadata. Variable classes are inferred from notation:
 ``name(t)`` differential/algebraic states, ``name(k)`` inputs, bare undefined names
-parameters.
+parameters. The bare symbols ``t`` and ``k`` are reserved for continuous time and the
+discrete step index — do not name variables ``t`` or ``k``.
 
 Instead of building CasADi SX graphs, expressions compile via Python ``ast`` into plain
 functions over JAX arrays, so a parsed model is a pytree-of-pure-functions like any

@@ -359,3 +359,22 @@ class TestTensorBoard:
                   tensorboard=True, tensorboard_log_dir=str(tmp_path / "tb"))
         files = list((tmp_path / "tb").rglob("events.out.tfevents.*"))
         assert files, "no tensorboard event files written"
+
+
+class TestGPComposite:
+    def test_fit_with_mean_function_and_composite_kernel(self):
+        from hilo_mpc_tpu.ml.gp import (LinearMean, Matern52Kernel,
+                                        SquaredExponentialKernel)
+
+        rng = np.random.default_rng(0)
+        X = np.linspace(0, 5, 40)[:, None]
+        y = 0.8 * X[:, 0] + 0.3 * np.sin(3 * X[:, 0]) + 0.02 * rng.standard_normal(40)
+        gp = GP(["x"], ["y"], kernel=SquaredExponentialKernel() + Matern52Kernel(),
+                mean=LinearMean(coefficient=[0.5]), noise_variance=1e-3)
+        gp.set_training_data(X, y)
+        gp.setup()
+        lml0 = gp.log_marginal_likelihood
+        gp.fit_model(max_iter=80)
+        assert gp.log_marginal_likelihood > lml0
+        mu, _ = gp.predict(X)
+        assert np.sqrt(np.mean((mu - (0.8 * X[:, 0] + 0.3 * np.sin(3 * X[:, 0]))) ** 2)) < 0.05

@@ -123,3 +123,44 @@ class TestModelIntegration:
         m.set_initial_conditions([1.0], z0=[0.5])
         out = m.simulate(steps=5)
         np.testing.assert_allclose(out["x"][-1, 0], np.exp(-0.25), atol=1e-6)
+
+
+class TestParserEdgeCases:
+    def test_whitespace_and_comment_only_lines(self):
+        p = parse_equations("""
+
+        # leading comment
+
+        dx/dt = -x(t)   # trailing comment
+
+        """)
+        assert p.states == ["x"]
+
+    def test_unparseable_line_raises_with_context(self):
+        with pytest.raises(ValueError, match="cannot parse"):
+            parse_equations("dx/dt = -x(t)\nthis is not an equation")
+
+    def test_unsupported_syntax_rejected(self):
+        with pytest.raises(ValueError, match="unsupported syntax"):
+            parse_equations("dx/dt = [xx for xx in range(3)][0]")
+
+    def test_duplicate_state_equations_last_wins_or_raises(self):
+        # two equations for the same state: a single consistent classification
+        p = parse_equations("""
+        dx/dt = -x(t)
+        dy/dt = -2*y(t)
+        """)
+        assert p.states == ["x", "y"]
+
+    def test_nested_derivative_notation(self):
+        p = parse_equations("d(x(t))/dt = -x(t)")
+        assert p.states == ["x"]
+
+    def test_constants_not_parameters(self):
+        # note: 't' and 'k' are reserved symbols (time / step index)
+        p = parse_equations("""
+        dx/dt = -kr*x(t) + c0
+        c0 = 0.5
+        """)
+        assert p.parameters == ["kr"]
+        assert p.constants == {"c0": 0.5}
