@@ -378,3 +378,36 @@ class TestGPComposite:
         assert gp.log_marginal_likelihood > lml0
         mu, _ = gp.predict(X)
         assert np.sqrt(np.mean((mu - (0.8 * X[:, 0] + 0.3 * np.sin(3 * X[:, 0]))) ** 2)) < 0.05
+
+
+class TestGPArraySubstitution:
+    def test_gparray_substitutes_multiple_parameters(self):
+        import jax.numpy as jnp
+
+        # model with two unknown rates, each supplied by its own GP
+        m = Model(name="two_rates")
+        m.set_dynamical_states(["a", "b"])
+        m.set_inputs("u")
+        m.set_parameters(["r1", "r2"])
+        m.set_dynamical_equations(
+            lambda x, u, p: jnp.array([-p[0] * x[0] + u[0], -p[1] * x[1]]))
+
+        X = np.linspace(0.1, 2.0, 15)[:, None]
+        arr = GPArray(2)
+        for i, (label, fn) in enumerate([("r1", lambda s: 0.5 * s),
+                                         ("r2", lambda s: 1.0 + 0.1 * s)]):
+            gp = GP(["a"], [label], noise_variance=1e-8)
+            gp.noise_variance.fixed = True
+            gp.set_training_data(X, fn(X[:, 0]))
+            arr[i] = gp
+        arr.setup()
+
+        m.substitute_from(arr)
+        assert m.parameters == []
+        m.setup(dt=0.05)
+        m.set_initial_conditions([1.0, 1.0])
+        out = m.simulate(u=np.zeros((5, 1)), steps=5)
+        assert np.all(np.isfinite(out["x"]))
+        # effective r2 at a=1: 1.1 -> b decays accordingly
+        np.testing.assert_allclose(out["x"][-1, 1],
+                                   np.exp(-1.1 * 0.25), rtol=0.05)
