@@ -128,6 +128,15 @@ class TimeSeries:
         for kind in self._data:
             self._data[kind] = np.zeros((len(self._kinds[kind]), 0))
 
+    def sort(self, by: str = "t") -> "TimeSeries":
+        """Reorder samples by a column (default: time)."""
+        key = self._time if by == "t" else self[by].ravel()
+        order = np.argsort(key)
+        self._time = self._time[order]
+        for kind in self._data:
+            self._data[kind] = self._data[kind][:, order]
+        return self
+
     def copy(self) -> "TimeSeries":
         ts = TimeSeries(self.time_unit)
         ts._kinds = {k: list(v) for k, v in self._kinds.items()}

@@ -185,3 +185,32 @@ class TestDiscretizeCopyPickle:
         m2.set_initial_parameter_values([1.0])
         out = m2.simulate(steps=10)
         np.testing.assert_allclose(out["x"][-1, 0], np.exp(-1.0), atol=1e-6)
+
+
+class TestSeriesOps:
+    def test_simulate_store_false_leaves_solution_untouched(self):
+        m = Model()
+        m.set_dynamical_states("x")
+        m.set_dynamical_equations(lambda x: -x)
+        m.setup(dt=0.1)
+        m.set_initial_conditions([1.0])
+        n0 = m.solution.n_samples
+        m.simulate(x0=[1.0], steps=5, store=False)
+        assert m.solution.n_samples == n0
+
+    def test_timeseries_sort_append_copy(self):
+        from hilo_mpc_tpu.core.series import TimeSeries
+
+        ts = TimeSeries()
+        ts.register("x", ["a"])
+        ts.append([0.2, 0.0, 0.1], x=np.array([[2.0, 0.0, 1.0]]))
+        ts.sort("t")
+        np.testing.assert_allclose(ts["t"], [0.0, 0.1, 0.2])
+        np.testing.assert_allclose(ts["a"].ravel(), [0.0, 1.0, 2.0])
+        ts2 = ts.copy()
+        ts2.append(0.3, x=[3.0])
+        assert ts.n_samples == 3 and ts2.n_samples == 4
+        ts.append(0.3, x=[3.0])
+        merged = ts.copy()
+        merged.append(0.4, x=[4.0])
+        assert merged.n_samples == 5
