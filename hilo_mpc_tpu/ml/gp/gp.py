@@ -186,16 +186,27 @@ class GaussianProcess:
                 options={"maxiter": max_iter})
             w_best = res.x
         elif solver == "adam":
+            # whole optimization as ONE device dispatch (lax.scan over steps) —
+            # a Python-loop fit pays a host round-trip per step, which is ruinous
+            # over remote-TPU tunnels
             import optax
 
             tx = optax.adam(learning_rate)
-            w = jnp.asarray(w0)
-            state = tx.init(w)
-            for _ in range(max_iter):
-                g = grad(w)
-                updates, state = tx.update(g, state)
-                w = optax.apply_updates(w, updates)
-            w_best = np.asarray(w)
+
+            def fit(w0_):
+                state0 = tx.init(w0_)
+
+                def step(carry, _):
+                    w, state = carry
+                    g = jax.grad(lambda ww: self._nll(self._unpack(ww, specs)))(w)
+                    updates, state = tx.update(g, state)
+                    return (optax.apply_updates(w, updates), state), None
+
+                (w, _), _ = jax.lax.scan(step, (w0_, state0), None,
+                                         length=max_iter)
+                return w
+
+            w_best = np.asarray(jax.jit(fit)(jnp.asarray(w0)))
         else:
             raise ValueError(f"unknown solver {solver!r} (scipy | adam)")
 

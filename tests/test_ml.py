@@ -411,3 +411,18 @@ class TestGPArraySubstitution:
         # effective r2 at a=1: 1.1 -> b decays accordingly
         np.testing.assert_allclose(out["x"][-1, 1],
                                    np.exp(-1.1 * 0.25), rtol=0.05)
+
+
+class TestGPAdamFit:
+    def test_on_device_adam_improves_lml(self):
+        rng = np.random.default_rng(3)
+        X = np.linspace(0, 6, 40)[:, None]
+        y = np.sin(X[:, 0]) + 0.05 * rng.standard_normal(40)
+        gp = GP(["x"], ["y"], noise_variance=0.3)
+        gp.set_training_data(X, y)
+        gp.setup()
+        lml0 = gp.log_marginal_likelihood
+        gp.fit_model(solver="adam", max_iter=300, learning_rate=5e-2)
+        assert gp.log_marginal_likelihood > lml0
+        sn2 = float(np.squeeze(gp.noise_variance.value))
+        assert sn2 < 0.1  # pulled toward the true 0.0025
