@@ -274,41 +274,72 @@ class ArtificialNeuralNetwork:
 
                 warnings.warn(f"tensorboard logging unavailable: {e}")
 
-        best_val = np.inf
-        best_params = params
-        bad_epochs = 0
-        hist = {"loss": [], "val_loss": []}
         n_tr = X_tr.shape[0]
         steps = max(1, n_tr // batch_size)
-        for epoch in range(epochs):
+
+        # the full training run is ONE device dispatch: scan over epochs with an
+        # inner fori over minibatches. Early stopping becomes best-params
+        # tracking inside the scan carry (same selected weights as a loop that
+        # breaks, at fixed cost) — a Python loop would pay a host round-trip per
+        # step, which is ruinous on remote-TPU tunnels.
+        def epoch_body(carry, _):
+            params, opt_state, key, best_val, best_params = carry
             key, perm_key = jax.random.split(key)
             order = jax.random.permutation(perm_key, n_tr)
-            epoch_loss = 0.0
-            for s in range(steps):
-                sel = order[s * batch_size:(s + 1) * batch_size]
+
+            def mb(s, inner):
+                params, opt_state, key, acc = inner
+                sel = jax.lax.dynamic_slice_in_dim(order, s * batch_size,
+                                                   batch_size)
                 key, sub = jax.random.split(key)
                 params, opt_state, l = train_step(
                     params, opt_state, X_tr[sel], y_tr[sel], sub)
-                epoch_loss += float(l)
-            vl = float(val_loss(params)) if n_val else epoch_loss / steps
-            hist["loss"].append(epoch_loss / steps)
-            hist["val_loss"].append(vl)
-            if writer is not None:
-                writer.add_scalar("loss/train", hist["loss"][-1], epoch)
-                writer.add_scalar("loss/val", vl, epoch)
-            if vl < best_val - 1e-9:
-                best_val = vl
-                best_params = params
-                bad_epochs = 0
+                return (params, opt_state, key, acc + l)
+
+            params, opt_state, key, acc = jax.lax.fori_loop(
+                0, steps, mb, (params, opt_state, key, jnp.zeros(())))
+            tr_l = acc / steps
+            vl = val_loss(params) if n_val else tr_l
+            better = vl < best_val - 1e-9
+            best_val = jnp.where(better, vl, best_val)
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(better, p, b), best_params, params)
+            return (params, opt_state, key, best_val, best_params), (tr_l, vl)
+
+        @jax.jit
+        def run_training(params, key):
+            opt_state = tx.init(params)
+            init = (params, opt_state, key, jnp.asarray(jnp.inf),
+                    jax.tree.map(jnp.asarray, params))
+            (params, _, _, _, best_params), (tr_hist, vl_hist) = jax.lax.scan(
+                epoch_body, init, None, length=epochs)
+            return best_params, tr_hist, vl_hist
+
+        best_params, tr_hist, vl_hist = run_training(params, key)
+        tr_hist = np.asarray(tr_hist)
+        vl_hist = np.asarray(vl_hist)
+        # honor patience post-hoc: truncate the history at the stopping epoch the
+        # sequential rule would have chosen (best params already tracked)
+        stop = len(vl_hist)
+        best_seen, bad = np.inf, 0
+        for e, v in enumerate(vl_hist):
+            if v < best_seen - 1e-9:
+                best_seen, bad = v, 0
             else:
-                bad_epochs += 1
-                if bad_epochs >= patience:
+                bad += 1
+                if bad >= patience:
+                    stop = e + 1
                     break
-            if verbose and epoch % max(1, epochs // 10) == 0:
-                print(f"epoch {epoch}: loss={hist['loss'][-1]:.5f} val={vl:.5f}")
+        hist = {"loss": list(tr_hist[:stop]), "val_loss": list(vl_hist[:stop])}
         if writer is not None:
+            for e in range(stop):
+                writer.add_scalar("loss/train", float(tr_hist[e]), e)
+                writer.add_scalar("loss/val", float(vl_hist[e]), e)
             writer.close()
-        self._params = best_params
+        if verbose:
+            for e in range(0, stop, max(1, epochs // 10)):
+                print(f"epoch {e}: loss={tr_hist[e]:.5f} val={vl_hist[e]:.5f}")
+        self._params = jax.tree.map(jnp.asarray, best_params)
         self.history = hist
         return self
 
