@@ -36,7 +36,8 @@ _NLP_OPTION_KEYS = {
     "integration_method", "degree", "collocation_scheme", "substeps",
     "newton_iters", "max_iter", "tol", "mu_init", "warm_start", "print_level",
     "dt", "convexify", "n_linesearch", "early_exit", "u_pf_lb", "u_pf_ub",
-    "ipopt_debugger", "parallel_riccati", "mehrotra",
+    "ipopt_debugger", "parallel_riccati", "mehrotra", "mi_neighbors",
+    "mi_max_enum",
 }
 
 
@@ -76,6 +77,8 @@ class NMPC:
         self._path_u_bounds = (0.0, np.inf)
         self._path_speed = None
         self._min_time = None
+        self._discrete_inputs: dict = {}   # input name -> levels array | None
+        self._mi = None                    # resolved at setup()
 
         self._setup_done = False
         self._solver = None
@@ -134,6 +137,41 @@ class NMPC:
         self._du_ub = setv(self._du_ub, du_ub, nu)
         self._x_soft = bool(x_soft)
         self._soft_weight = float(soft_weight)
+        return self
+
+    def set_discrete_inputs(self, inputs, levels=None):
+        """Declare inputs that may only take values from a finite set (mixed-integer
+        NMPC). The reference reserves solver plumbing for this ('bonmin' in
+        optimizer.py:897, `_mixed_integer_flag` in mpc.py:56) but never activates it;
+        here it is solved natively: relaxed interior-point solve, then a batch of
+        rounding/neighborhood candidates with the discrete inputs pinned
+        (lbu == ubu) evaluated in ONE vmapped solve, best feasible wins.
+
+        :param inputs: input name(s) or index(es) into model.inputs
+        :param levels: allowed values — one array applied to every declared input,
+            or a list of arrays (one per input). ``None`` derives the integer
+            lattice from the box bounds at setup() (requires finite u bounds).
+        """
+        if isinstance(inputs, (str, int)):
+            inputs = [inputs]
+        inputs = list(inputs)
+        if levels is None:
+            per_input = [None] * len(inputs)
+        elif isinstance(levels, (list, tuple)) and len(levels) and \
+                isinstance(levels[0], (list, tuple, np.ndarray)):
+            if len(levels) != len(inputs):
+                raise ValueError(f"{len(inputs)} inputs but {len(levels)} level sets")
+            per_input = [np.asarray(lv, dtype=float).ravel() for lv in levels]
+        else:
+            per_input = [np.asarray(levels, dtype=float).ravel()] * len(inputs)
+        names = self._model.inputs
+        for inp, lv in zip(inputs, per_input):
+            name = names[inp] if isinstance(inp, int) else inp
+            if name not in names:
+                raise ValueError(f"unknown input {name!r} (have {names})")
+            if lv is not None and lv.size < 2:
+                raise ValueError(f"input {name!r}: need >= 2 levels, got {lv}")
+            self._discrete_inputs[name] = None if lv is None else np.unique(lv)
         return self
 
     def set_initial_guess(self, x_guess=None, u_guess=None):
@@ -253,6 +291,11 @@ class NMPC:
                   or np.any(np.isfinite(self._du_ub))
                   or Nc < N)
         self._augment_du = bool(has_du and nu > 0)
+        if self._discrete_inputs and self._augment_du:
+            raise ValueError(
+                "discrete inputs are incompatible with the Δu formulation "
+                "(Δu penalties/bounds or control_horizon < horizon): the solver's "
+                "control variable would be the input increment, not the input")
         path = self._path_following or any(
             t.path_following for t in
             self.quad_stage_cost.terms + self.quad_terminal_cost.terms)
@@ -525,6 +568,42 @@ class NMPC:
             lbu = np.concatenate([lbu, v_lb], axis=1)
             ubu = np.concatenate([ubu, v_ub], axis=1)
 
+        self._mi = None
+        if self._discrete_inputs:
+            mi_dims, mi_levels = [], []
+            for name, lv in self._discrete_inputs.items():
+                d = model.inputs.index(name)
+                if lv is None:
+                    lo, hi = self._u_lb[d], self._u_ub[d]
+                    if not (np.isfinite(lo) and np.isfinite(hi)):
+                        raise ValueError(
+                            f"discrete input {name!r}: no levels given and box "
+                            f"bounds are not finite — cannot derive the lattice")
+                    lv = np.arange(np.ceil(lo), np.floor(hi) + 1.0)
+                else:
+                    lv = lv[(lv >= self._u_lb[d]) & (lv <= self._u_ub[d])]
+                if lv.size < 2:
+                    raise ValueError(f"discrete input {name!r}: fewer than 2 "
+                                     f"levels remain within the box bounds")
+                mi_dims.append(d)
+                mi_levels.append(lv / su[d])       # solver works in scaled units
+                # relaxed problem spans exactly the level range
+                lbu[:, d] = lv.min() / su[d]
+                ubu[:, d] = lv.max() / su[d]
+            self._mi = {"dims": mi_dims, "levels": mi_levels,
+                        "neighbors": int(options.get("mi_neighbors", 12)),
+                        "cand_enum": None}
+            # exact mode: if the full assignment lattice is small enough, solve
+            # every candidate (the count is static, so the batch compiles once)
+            max_enum = int(options.get("mi_max_enum", 512))
+            log_count = N * float(sum(np.log(lv.size) for lv in self._mi["levels"]))
+            if max_enum > 0 and log_count <= np.log(max_enum) + 1e-9:
+                import itertools as _it
+                entry_levels = [self._mi["levels"][j]
+                                for _k in range(N) for j in range(len(mi_dims))]
+                cand = np.array(list(_it.product(*entry_levels)), dtype=float)
+                self._mi["cand_enum"] = cand.reshape(-1, N, len(mi_dims))
+
         self._bounds = OCPBounds(
             lbx=jnp.asarray(lbx, dtype), ubx=jnp.asarray(ubx, dtype),
             lbu=jnp.asarray(lbu, dtype), ubu=jnp.asarray(ubu, dtype))
@@ -575,6 +654,26 @@ class NMPC:
         self._rollout_guess_jit = jax.jit(_rollout_guess)
         self._rollout_guess_batch_jit = jax.jit(jax.vmap(
             _rollout_guess, in_axes=(0, None, None)))
+
+        if self._mi is not None:
+            # candidate solves: same scenario, different pinned u-bounds per
+            # candidate — all bound handling in the solver is traced jnp, so C
+            # candidates share ONE compilation and run as a single batched solve
+            import dataclasses as _dcm
+            mi_opts = _dcm.replace(ip_opts, mu_init=min(ip_opts.mu_init, 1e-2),
+                                   record_iterates=False)
+            base_bounds = self._bounds
+
+            def _solve_candidate(lbu_c, ubu_c, theta_a, xs0_a, X0, U0):
+                b = OCPBounds(lbx=base_bounds.lbx, ubx=base_bounds.ubx,
+                              lbu=lbu_c, ubu=ubu_c)
+                return solve_ocp(funcs, dims, b, theta_a, xs0_a, X0, U0,
+                                 options=mi_opts, fix_x0=True)
+
+            self._solve_mi_jit = jax.jit(jax.vmap(
+                _solve_candidate, in_axes=(0, 0, None, None, 0, 0)))
+            self._rollout_guess_umany_jit = jax.jit(jax.vmap(
+                _rollout_guess, in_axes=(None, None, 0)))
 
         self.solution = TimeSeries(model.time_unit)
         self.solution.register("x", model.dynamical_states)
@@ -703,6 +802,116 @@ class NMPC:
         X = np.nan_to_num(X, nan=0.0, posinf=1e3, neginf=-1e3)
         return X, U
 
+    # -- mixed-integer refinement ---------------------------------------------
+    def _mi_candidates(self, U_rel: np.ndarray) -> np.ndarray:
+        """Rounding candidates for the discrete inputs from a relaxed solution.
+
+        Returns (C, N, n_d) candidate level assignments. Exact mode (small
+        lattice, see mi_max_enum): every assignment. Heuristic mode: nearest
+        rounding, floor-/ceil-biased roundings, the top-K most fractional entries
+        flipped to their second-nearest level one at a time and in pairs, and all
+        K flipped together. C is fixed (duplicates repeat the nearest rounding)
+        so the batched candidate solve compiles once.
+        """
+        mi = self._mi
+        if mi["cand_enum"] is not None:
+            return mi["cand_enum"]
+        N = self._dims.N
+        n_d = len(mi["dims"])
+        near = np.zeros((N, n_d))
+        second = np.zeros((N, n_d))
+        floor_c = np.zeros((N, n_d))
+        ceil_c = np.zeros((N, n_d))
+        frac = np.zeros((N, n_d))
+        for j, (d, lv) in enumerate(zip(mi["dims"], mi["levels"])):
+            u = np.asarray(U_rel[:, d], dtype=float)
+            dist = np.abs(u[:, None] - lv[None, :])          # (N, L)
+            order = np.argsort(dist, axis=1)
+            rows = np.arange(N)
+            near[:, j] = lv[order[:, 0]]
+            second[:, j] = lv[order[:, 1]]
+            # fractionality: how close the relaxed value sits to the midpoint
+            # between its two nearest levels (1 = exactly between, 0 = on-level)
+            frac[:, j] = dist[rows, order[:, 0]] / np.maximum(
+                dist[rows, order[:, 1]], 1e-12)
+            below = u[:, None] >= lv[None, :] - 1e-12
+            floor_c[:, j] = np.where(below.any(axis=1),
+                                     lv[np.maximum(below.sum(axis=1) - 1, 0)],
+                                     lv[0])
+            above = u[:, None] <= lv[None, :] + 1e-12
+            ceil_c[:, j] = np.where(above.any(axis=1),
+                                    lv[np.minimum(lv.size - above.sum(axis=1),
+                                                  lv.size - 1)],
+                                    lv[-1])
+        K_cfg = mi["neighbors"]
+        K = min(K_cfg, N * n_d)
+        cands = [near, floor_c, ceil_c]
+        flat = frac.ravel()
+        top = np.argsort(-flat)[:K]
+        all_flipped = near.copy()
+        for idx in top:
+            k, j = np.unravel_index(idx, (N, n_d))
+            flip = near.copy()
+            flip[k, j] = second[k, j]
+            cands.append(flip)
+            all_flipped[k, j] = second[k, j]
+        # pairwise flips of the most fractional entries cover Hamming-distance-2
+        # optima that single flips miss
+        import itertools as _it
+        P = min(K_cfg, 8)
+        for ia, ib in _it.combinations(top[:min(K, 8)], 2):
+            ka, ja = np.unravel_index(ia, (N, n_d))
+            kb, jb = np.unravel_index(ib, (N, n_d))
+            flip = near.copy()
+            flip[ka, ja] = second[ka, ja]
+            flip[kb, jb] = second[kb, jb]
+            cands.append(flip)
+        cands.append(all_flipped)
+        C_total = 4 + K_cfg + P * (P - 1) // 2
+        while len(cands) < C_total:    # keep C static across steps
+            cands.append(near)
+        return np.stack(cands[:C_total], axis=0)
+
+    def _mi_refine(self, theta, xs0, U_rel, dtype):
+        """Pin each rounding candidate (lbu == ubu on the discrete dims) and solve
+        the whole candidate batch in one vmapped interior-point call; return the
+        best converged candidate's solution."""
+        mi = self._mi
+        cand = self._mi_candidates(np.asarray(U_rel))        # (C, N, n_d)
+        C = cand.shape[0]
+        lbu = np.broadcast_to(np.asarray(self._bounds.lbu), (C,) +
+                              self._bounds.lbu.shape).copy()
+        ubu = np.broadcast_to(np.asarray(self._bounds.ubu), (C,) +
+                              self._bounds.ubu.shape).copy()
+        U_c = np.broadcast_to(np.asarray(U_rel), (C,) + U_rel.shape).copy()
+        for j, d in enumerate(mi["dims"]):
+            lbu[:, :, d] = cand[:, :, j]
+            ubu[:, :, d] = cand[:, :, j]
+            U_c[:, :, d] = cand[:, :, j]
+        X_c = self._rollout_guess_umany_jit(
+            jnp.asarray(xs0, dtype), jnp.asarray(theta, dtype),
+            jnp.asarray(U_c, dtype))
+        X_c = jnp.nan_to_num(X_c, nan=0.0, posinf=1e3, neginf=-1e3)
+        sols = self._solve_mi_jit(
+            jnp.asarray(lbu, dtype), jnp.asarray(ubu, dtype),
+            jnp.asarray(theta, dtype), jnp.asarray(xs0, dtype),
+            X_c, jnp.asarray(U_c, dtype))
+        conv = np.asarray(sols.converged)
+        obj = np.asarray(sols.objective, dtype=float)
+        if conv.any():
+            masked = np.where(conv, obj, np.inf)
+            i = int(np.argmin(masked))
+        else:
+            i = int(np.argmin(np.asarray(sols.kkt_error)))
+        sol = jax.tree_util.tree_map(lambda a: a[i], sols)
+        X = np.array(sol.X)
+        U = np.array(sol.U)
+        for j, d in enumerate(mi["dims"]):
+            U[:, d] = cand[i, :, j]    # snap: pin is a stiff quadratic, not exact
+        info = {"mi_candidates": C, "mi_feasible": int(conv.sum()),
+                "mi_pick": i}
+        return sol, X, U, info
+
     # -- solve -----------------------------------------------------------------
     def optimize(self, x0, cp=None, tvp=None, ref=None, runs: int = 1,
                  seed: int = 0):
@@ -748,6 +957,13 @@ class NMPC:
                     sol, best_obj = sol_r, float(sol_r.objective)
                     X, U = np.asarray(sol.X), np.asarray(sol.U)
 
+        mi_info = {}
+        if self._mi is not None:
+            relaxed_obj = float(sol.objective)
+            sol, X, U, mi_info = self._mi_refine(theta, xs0, U, dtype)
+            # integrality gap: discrete-feasible objective vs relaxed lower bound
+            mi_info["mi_gap"] = float(sol.objective) - relaxed_obj
+
         nx, nu = self._model.n_x, self._model.n_u
         if self._augment_du:
             u0 = (X[1, nx:nx + nu]) * self._u_scaling
@@ -776,6 +992,7 @@ class NMPC:
             "converged": bool(sol.converged),
             "status": int(sol.status),
             "extime": _time.perf_counter() - t_wall,
+            **mi_info,
         }
         if self.solution is not None:
             self.solution.append(
