@@ -158,6 +158,43 @@ class TestSeriesIO:
         fig = plot_series(ts, save_as=str(tmp_path / "p.png"))
         assert (tmp_path / "p.png").exists()
 
+    def test_pgfplots_export(self, tmp_path):
+        from hilo_mpc_tpu.core.series import TimeSeries
+        from hilo_mpc_tpu.utils.plotting import plot_series, to_pgfplots
+
+        ts = TimeSeries()
+        ts.register("x", ["conc_A"])        # underscore must be TeX-escaped
+        ts.register("u", ["v"])
+        ts.append([0.0, 0.1, 0.2], x=np.array([[1.0, 2.0, 3.0]]),
+                  u=np.array([[0.0, 1.0, 0.0]]))
+        path = tmp_path / "fig.tex"
+        tex = to_pgfplots(ts, str(path), title="run #1")
+        assert path.exists()
+        assert "\\begin{axis}" in tex and "pgfplots" in tex
+        assert "conc\\_A" in tex and "run \\#1" in tex
+        assert "(0.1,2)" in tex              # data made it into coordinates
+        assert "const plot" in tex           # inputs render as steps
+        # fragment mode: no preamble
+        frag = to_pgfplots(ts, str(tmp_path / "frag.tex"), standalone=False)
+        assert "documentclass" not in frag
+
+        # .tex save_as routes plot_series to the exporter (no figure returned)
+        assert plot_series(ts, save_as=str(tmp_path / "via.tex")) is None
+        assert (tmp_path / "via.tex").exists()
+
+    def test_plot_backend_dispatch(self):
+        import pytest
+
+        from hilo_mpc_tpu import get_plot_backend, set_plot_backend
+
+        set_plot_backend("latex")
+        assert get_plot_backend() == "latex"
+        with pytest.raises(ImportError, match="bokeh"):
+            set_plot_backend("bokeh")    # not installed in this environment
+        with pytest.raises(ValueError, match="unknown"):
+            set_plot_backend("gnuplot")
+        set_plot_backend("matplotlib")
+
     def test_noise_injection(self):
         from hilo_mpc_tpu.core.series import TimeSeries
 
