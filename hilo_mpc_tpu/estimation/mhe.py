@@ -7,7 +7,9 @@ maps onto the same stagewise interior-point engine as NMPC (ops/ip_solver.py) wi
 ``fix_x0=False`` (the Riccati sweep picks the optimal free initial state, replacing the
 reference's flat-NLP decision vector, mhe.py:418-791). Estimated parameters ride as
 constant-dynamics state augmentations. Measurement buffering mirrors the reference's
-ring buffers (mhe.py:311-416).
+ring buffers (mhe.py:311-416). Beyond the reference: NaN entries in a measurement mark
+missing values — a per-channel validity mask rides in theta and zeroes their error
+terms, so irregular/dropped samples are handled without resizing the window NLP.
 """
 from __future__ import annotations
 
@@ -144,14 +146,20 @@ class MovingHorizonEstimator(Estimator):
                    else np.eye(n_pe))
 
         # theta layout per node k: [t, u_k (nu), y_k (ny), p_full (n_p),
-        #                           arrival_x_bar (nx), arrival_p_bar (n_pe)]
+        #                           arrival_x_bar (nx), arrival_p_bar (n_pe),
+        #                           y_mask (ny)]
+        # y_mask: per-channel measurement validity (NaN in a supplied y marks a
+        # missing value — the mask zeroes its error term; the reference has no
+        # missing-data support, mhe.py:311-416 assumes a full window)
         off_u = 1
         off_y = off_u + nu
         off_p = off_y + ny
         off_ax = off_p + n_p
         off_ap = off_ax + nx
-        self._n_theta = off_ap + n_pe
+        off_m = off_ap + n_pe
+        self._n_theta = off_m + ny
         self._offsets = (off_u, off_y, off_p, off_ax, off_ap)
+        self._off_mask = off_m
 
         nxs = nx + n_pe
         arrival_scale = 1.0
@@ -177,7 +185,7 @@ class MovingHorizonEstimator(Estimator):
             p = full_p(xs, theta)
             t = theta[0]
             y_pred = jnp.atleast_1d(meas(x, jnp.zeros(nz, x.dtype), u, p, t))
-            e = y - y_pred
+            e = (y - y_pred) * theta[off_m:off_m + ny]
             c = e @ jnp.asarray(W_meas, x.dtype) @ e
             c = c + w @ jnp.asarray(W_noise, x.dtype) @ w
             return c
@@ -206,7 +214,7 @@ class MovingHorizonEstimator(Estimator):
             p = full_p(xs, theta)
             t = theta[0]
             y_pred = jnp.atleast_1d(meas(x, jnp.zeros(nz, x.dtype), u, p, t))
-            e = y - y_pred
+            e = (y - y_pred) * theta[off_m:off_m + ny]
             return e @ jnp.asarray(W_meas, x.dtype) @ e
 
         dims = OCPDims(nx=nxs, nu=nx, N=N)
@@ -278,11 +286,13 @@ class MovingHorizonEstimator(Estimator):
         # interval inputs lead by one within the window (see estimate())
         us_int = np.concatenate([Us[:, 1:], Us[:, -1:]], axis=1)
         theta[:, :, off_u:off_u + m.n_u] = us_int
-        theta[:, :, off_y:off_y + m.n_y] = Ys
+        theta[:, :, off_y:off_y + m.n_y] = np.nan_to_num(Ys, nan=0.0)
         theta[:, :, off_p:off_p + m.n_p] = p_vec[None, None, :]
         theta[:, :, off_ax:off_ax + nx] = x_arrivals[:, None, :]
         if n_pe:
             theta[:, :, off_ap:off_ap + n_pe] = self._p_arrival[None, None, :]
+        theta[:, :, self._off_mask:self._off_mask + m.n_y] = \
+            np.isfinite(Ys).astype(float)
         theta[:, 0, -1] = 1.0
         return theta
 
@@ -360,6 +370,8 @@ class MovingHorizonEstimator(Estimator):
                                else np.zeros(nx))
 
         ys = np.stack(list(self._y_history))      # (N+1, ny): y_k at node k
+        y_mask = np.isfinite(ys).astype(float)    # NaN = missing measurement
+        ys = np.nan_to_num(ys, nan=0.0)
         us = np.stack(list(self._u_history))      # (N+1, nu): u applied after y_k
         # interval input for node k -> k+1 is the u applied AFTER y_k was measured,
         # i.e. us[k+1] (estimate(y, u) receives (y_{j+1}, u_j) pairs like the
@@ -375,6 +387,7 @@ class MovingHorizonEstimator(Estimator):
         theta[:, off_ax:off_ax + nx] = self._x_arrival[None, :]
         if n_pe:
             theta[:, off_ap:off_ap + n_pe] = self._p_arrival[None, :]
+        theta[:, self._off_mask:self._off_mask + m.n_y] = y_mask
         theta[0, -1] = 1.0   # arrival-cost indicator
 
         dtype = self._solver_dtype

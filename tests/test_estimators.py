@@ -186,6 +186,93 @@ class TestMHE:
         assert abs(p_hat[0] - 0.7) < 0.02
 
 
+class TestMHEMissingData:
+    def test_nan_measurements_are_skipped(self):
+        """NaN marks a missing sample: with 30% of the window dropped, the
+        estimate stays finite and close to the truth (the reference MHE has no
+        missing-data path; a NaN would poison its NLP)."""
+        plant = pendulum()
+        X, U, Y = simulate_noisy(plant, [0.5, 0.0], steps=40, meas_std=0.005)
+        Y = Y.copy()
+        rng = np.random.default_rng(3)
+        drop = rng.random(40) < 0.3
+        drop[-1] = False              # keep the final node observed
+        Y[drop] = np.nan
+        mhe = MHE(pendulum())
+        mhe.horizon = 10
+        mhe.Q = 1e-5
+        mhe.R = 1e-4
+        mhe.P0 = np.eye(2) * 0.2
+        mhe.setup(dt=0.05)
+        mhe.set_initial_guess([0.3, 0.2])
+        x_hat = None
+        for k in range(40):
+            res = mhe.estimate(y=Y[k], u=U[k])
+            if res is not None:
+                x_hat = res
+                assert np.all(np.isfinite(x_hat))
+        assert mhe.stats["converged"]
+        err = np.abs(x_hat - X[-1])
+        assert err[0] < 0.03 and err[1] < 0.15
+
+    def test_per_channel_masking(self):
+        """Two-output model where one channel drops out: the other channel keeps
+        carrying information (per-channel, not per-node masking)."""
+        import jax.numpy as jnp
+
+        m = Model()
+        m.set_dynamical_states(["a", "b"])
+        m.set_measurements(["ya", "yb"])
+        m.set_dynamical_equations(lambda x: jnp.array([-0.5 * x[0],
+                                                       -0.2 * x[1]]))
+        m.set_measurement_equations(lambda x: jnp.array([x[0], x[1]]))
+        m.setup(dt=0.1)
+        m.set_initial_conditions([2.0, 1.0])
+        out = m.simulate(steps=30)
+        Y = out["y"].copy()
+        Y[10:25, 1] = np.nan          # channel b unobserved for 15 steps
+        mhe = MHE(m.copy())
+        mhe.horizon = 8
+        mhe.Q = 1e-5
+        mhe.R = 1e-4
+        mhe.P0 = np.eye(2) * 0.5
+        mhe.setup(dt=0.1)
+        mhe.set_initial_guess([1.5, 1.5])
+        x_hat = None
+        for k in range(30):
+            res = mhe.estimate(y=Y[k])
+            if res is not None:
+                x_hat = res
+                assert np.all(np.isfinite(x_hat))
+        x_true = out["x"][-1]
+        # channel a observed throughout -> tight; b recovered after dropout
+        assert abs(x_hat[0] - x_true[0]) < 1e-2
+        assert abs(x_hat[1] - x_true[1]) < 5e-2
+
+    def test_batched_windows_accept_nan(self):
+        plant = pendulum()
+        X, U, Y = simulate_noisy(plant, [0.5, 0.0], steps=30, meas_std=0.005)
+        N = 10
+        Y = Y.copy()
+        Y[7] = np.nan
+        mhe = MHE(pendulum())
+        mhe.horizon = N
+        mhe.Q = 1e-5
+        mhe.R = 1e-4
+        mhe.P0 = np.eye(2) * 0.2
+        mhe.setup(dt=0.05)
+        mhe.set_initial_guess([0.4, 0.1])
+        starts = [0, 5]
+        Ys = np.stack([Y[s:s + N + 1] for s in starts])
+        Us = np.stack([U[s:s + N + 1] for s in starts])
+        x_arr = np.stack([X[s] for s in starts])
+        x_est, sol = mhe.estimate_batch(Ys, Us, x_arrivals=x_arr)
+        assert np.all(np.isfinite(x_est))
+        assert bool(np.asarray(sol.converged).all())
+        x_true = np.stack([X[s + N] for s in starts])
+        assert np.max(np.abs(x_est - x_true)) < 0.06
+
+
 class TestBatchedMHE:
     def test_batched_windows_match_sequential(self):
         plant = pendulum()
