@@ -240,21 +240,32 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
     def term_c(X):
         return cN_fn(X[-1], theta[-1], lbxN_c, ubxN_c, maskN)
 
+    # fused value+jacobian w.r.t. (x, u): jax.linearize evaluates the primal
+    # ONCE and pushes the nx+nu basis tangents through the stored linear trace —
+    # vs. three primal traversals (value + two jacfwd calls) of the integrator
+    def _value_and_jacobians(f, x, u):
+        val, jvp = jax.linearize(f, x, u)
+        dt_ = x.dtype
+        dX = jnp.concatenate([jnp.eye(nx, dtype=dt_),
+                              jnp.zeros((nu, nx), dt_)], axis=0)
+        dU = jnp.concatenate([jnp.zeros((nx, nu), dt_),
+                              jnp.eye(nu, dtype=dt_)], axis=0)
+        J = jax.vmap(jvp)(dX, dU)          # (nx+nu, n_out)
+        return val, J[:nx].T, J[nx:].T     # val, d/dx, d/du
+
     # Jacobians of the stage inequality rows w.r.t. (x, u)
     def stage_c_jac(x, u, th, lbx, ubx, lbu, ubu, msk):
-        Cx = jax.jacfwd(c_fn, argnums=0)(x, u, th, lbx, ubx, lbu, ubu, msk)
-        Cu = jax.jacfwd(c_fn, argnums=1)(x, u, th, lbx, ubx, lbu, ubu, msk)
+        _, Cx, Cu = _value_and_jacobians(
+            lambda xx, uu: c_fn(xx, uu, th, lbx, ubx, lbu, ubu, msk), x, u)
         return Cx, Cu
 
     def term_c_jac(x):
         return jax.jacfwd(cN_fn, argnums=0)(x, theta[-1], lbxN_c, ubxN_c, maskN)
 
-    # dynamics linearization (value + jacobians in one vmapped pass)
+    # dynamics linearization (value + both jacobians from one primal pass)
     def dyn_lin(x, u, th):
-        F = funcs.dyn(x, u, th)
-        A = jax.jacfwd(funcs.dyn, argnums=0)(x, u, th)
-        B = jax.jacfwd(funcs.dyn, argnums=1)(x, u, th)
-        return F, A, B
+        return _value_and_jacobians(
+            lambda xx, uu: funcs.dyn(xx, uu, th), x, u)
 
     # equality constraints enter through augmented-Lagrangian terms on the costs
     n_e, n_eN = dims.n_e, dims.n_eN
