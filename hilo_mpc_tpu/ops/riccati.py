@@ -102,13 +102,20 @@ def solve_lq_parallel(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
     On TPU this turns the horizon from a serial chain into a log-depth tree of
     batched small-matrix composes.
 
-    When to use (measured on v5e): only for FEW scenarios with LONG horizons in
-    f64 — i.e. when the chip is otherwise idle along the batch dimension. At
+    When to use (measured on v5e): only for FEW scenarios with LONG horizons —
+    i.e. when the chip is otherwise idle along the batch dimension. At
     production batch sizes (B >= 256) the sequential sweep already saturates the
-    chip and this variant's ~3x flops make it slower; and in f32 the
-    (I + C J)^-1 compositions lose precision over long horizons (~1e-2 control
-    error at N=256 vs 1e-15 in f64). It is therefore opt-in
+    chip and this variant's ~3x flops make it slower. It is therefore opt-in
     (IPOptions.parallel_riccati).
+
+    Precision (measured on v5e, N=256 random stagewise LQ, f32 vs f64 truth):
+    under the solver's mandatory `default_matmul_precision("highest")` this scan
+    is as accurate as the sequential sweep (2.9e-7 vs 5.8e-7 rel. control
+    error); a square-root/QR-composed variant was prototyped and measured to
+    give NO improvement (9.6e-7, and NaNs first on extreme κ~1e9 problems), so
+    it was dropped. The only precision hazard is TPU-default bf16 matmuls,
+    which degrade ALL variants equally to ~5e-3 — never run the KKT path at
+    default matmul precision (see solve_ocp).
 
     Method: per-stage cross/linear control terms are eliminated by completing the
     square (u = ũ - R⁻¹(S dx + r)), stages become conditional-value-function

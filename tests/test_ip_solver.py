@@ -190,6 +190,20 @@ class TestParallelRiccati:
         np.testing.assert_allclose(np.asarray(s1.lam), np.asarray(s2.lam),
                                    atol=1e-10)
 
+    def test_parallel_scan_f32_accuracy_long_horizon(self):
+        # regression pin for the documented precision claim: at N=256 in f32
+        # (with the solver's "highest" matmul precision) the associative-scan
+        # compositions stay within ~1e-5 of the f64 sequential truth
+        from hilo_mpc_tpu.ops.riccati import solve_lq_parallel
+
+        args = self._random_lq(256, seed=7)
+        truth = np.asarray(solve_lq(*args, reg=1e-9).dU)
+        args32 = tuple(jnp.asarray(a, jnp.float32) for a in args)
+        with jax.default_matmul_precision("highest"):
+            dU32 = np.asarray(solve_lq_parallel(*args32, reg=1e-7).dU)
+        scale = max(np.max(np.abs(truth)), 1.0)
+        assert np.max(np.abs(dU32 - truth)) / scale < 1e-5
+
     def test_ip_solver_with_parallel_riccati(self):
         inf = np.inf
         bounds = OCPBounds(
