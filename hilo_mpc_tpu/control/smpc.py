@@ -3,13 +3,23 @@
 Rebuild of the reference's SMPC (reference: hilo_mpc/modules/controller/mpc.py:
 2462-2814): a deterministic surrogate model carries mean states mu and covariance
 states vec(P); covariance propagates through the linearized closed loop
-P+ = A_cl P A_clᵀ + B_d Σ_gp(mu, u) B_dᵀ with A_cl = A - B K_fb
-(`_create_deterministic_surrogate`, mpc.py:2512-2614), where Σ_gp is the GP posterior
-variance evaluated along the predicted mean — the reference gets the GP Jacobians by
-symbolic differentiation of the CasADi posterior; here the GP predict function is
-traced and differentiated by JAX like any other function. Chance constraints use the
-erfinv back-off (mpc.py:2623-2645): Pr(x_i <= ub) >= p  ⇔  mu_i + κ_p sqrt(P_ii) <= ub,
-κ_p = sqrt(2) erfinv(2p - 1).
+
+    P+ = A_cl P A_clᵀ + Bw Kd0(mu, u) Bwᵀ,   A_cl = Fx + Fu K_fb,
+
+where F(x, u) = f(x, u) + Bw d(x, u) is the FULL mean map (nominal dynamics plus
+GP means mixed in by the disturbance matrix Bw) and Kd0 the diagonal of the GP
+posterior variances along the predicted mean. This is algebraically identical to
+the reference's block form (`_create_deterministic_surrogate`, mpc.py:2512-2614)
+
+    K+ = [Jf Bw] [[Kz, Kz Jgᵀ], [Jg Kz, Kd0 + Jg Kz Jgᵀ]] [Jf Bw]ᵀ
+       = (Jf + Bw Jg) Kz (Jf + Bw Jg)ᵀ + Bw Kd0 Bwᵀ,
+
+with Kz = [I; K] Kx [I; K]ᵀ — i.e. the GP/state cross-covariance (Kz Jgᵀ) and the
+input-dependent GP output covariance (Jg Kz Jgᵀ) are captured exactly, because
+jax.jacfwd differentiates THROUGH the GP means inside the mean map (the reference
+needs the explicit block algebra only because it assembles CasADi Jacobians
+separately). Chance constraints use the erfinv back-off (mpc.py:2623-2645):
+Pr(x_i <= ub) >= p  ⇔  mu_i + κ_p sqrt(P_ii) <= ub, κ_p = sqrt(2) erfinv(2p - 1).
 
 The surrogate is a plain discrete Model over [mu; vec(P)], so the whole stochastic
 controller rides the standard NMPC/Riccati-IP machinery (and batches/shards like any
@@ -46,9 +56,16 @@ class SMPC(NMPC):
         nominal dynamic model (continuous or discrete).
     gps:
         dict mapping a state name to a fitted GaussianProcess modeling an additive
-        discrete-time disturbance on that state; the GP's features must be model
+        discrete-time disturbance on that state, OR a list of GaussianProcesses
+        combined with ``disturbance_matrix``; the GPs' features must be model
         states/inputs. Mean enters the surrogate dynamics, variance drives the
         covariance propagation.
+    disturbance_matrix:
+        optional (n_x, n_gps) matrix B mixing the GP outputs into the state
+        update, x+ = f(x,u) + B d(x,u) (reference: the ``B`` argument of
+        SMPC.__init__ and ``Bw`` in ``_create_deterministic_surrogate``,
+        mpc.py:2466,2512-2614). When ``gps`` is a dict and this is omitted, B is
+        the unit selector onto the named state rows.
     feedback_gain:
         optional (n_u, n_x) ancillary feedback K (u = u_ff - K (x - mu)) tightening
         the predicted covariance (reference: K_gain, mpc.py:2512).
@@ -58,12 +75,33 @@ class SMPC(NMPC):
 
     def __init__(self, model: Model, gps: Optional[Dict[str, object]] = None,
                  feedback_gain=None, dt: Optional[float] = None,
-                 integration_method: str = "rk4", **kwargs):
+                 integration_method: str = "rk4", disturbance_matrix=None,
+                 **kwargs):
         self._base_model = model.copy(keep_solution=False)
-        self._gps = dict(gps or {})
-        for nm in self._gps:
-            if nm not in model.dynamical_states:
-                raise ValueError(f"{nm!r} is not a model state")
+        nx = model.n_x
+        if isinstance(gps, dict) or gps is None:
+            self._gps = list((gps or {}).values())
+            rows = []
+            for nm in (gps or {}):
+                if nm not in model.dynamical_states:
+                    raise ValueError(f"{nm!r} is not a model state")
+                rows.append(model.dynamical_states.index(nm))
+            if disturbance_matrix is None:
+                B_w = np.zeros((nx, len(rows)))
+                for j, i in enumerate(rows):
+                    B_w[i, j] = 1.0
+            else:
+                B_w = np.atleast_2d(np.asarray(disturbance_matrix, dtype=float))
+        else:
+            self._gps = list(gps)
+            if disturbance_matrix is None:
+                raise ValueError(
+                    "a list of GPs requires disturbance_matrix (n_x, n_gps)")
+            B_w = np.atleast_2d(np.asarray(disturbance_matrix, dtype=float))
+        if self._gps and B_w.shape != (nx, len(self._gps)):
+            raise ValueError(f"disturbance_matrix shape {B_w.shape}, expected "
+                             f"{(nx, len(self._gps))}")
+        self._B_w = B_w
         self._K_fb = (None if feedback_gain is None
                       else np.atleast_2d(np.asarray(feedback_gain, dtype=float)))
         self._chance_specs = []
@@ -76,9 +114,9 @@ class SMPC(NMPC):
         base = self._base_model
         nx, nu, n_p = base.n_x, base.n_u, base.n_p
         state_names = base.dynamical_states
-        gp_rows = [state_names.index(nm) for nm in self._gps]
+        B_w = self._B_w
         gp_fns = []
-        for nm, gp in self._gps.items():
+        for gp in self._gps:
             fn = gp.predict_fn()
             feats = list(gp.features)
             feat_idx = []
@@ -97,23 +135,31 @@ class SMPC(NMPC):
         K_fb = self._K_fb
         dt_guess = dt
 
+        def gp_eval(x, u):
+            """Stacked GP posterior means and variances d(x,u), diag Kd0(x,u)."""
+            mus, vs = [], []
+            for fn, feat_idx in gp_fns:
+                feats = jnp.stack([x[i] if kind == "x" else u[i]
+                                   for kind, i in feat_idx])
+                mu_gp, var = fn(feats)
+                mus.append(jnp.squeeze(mu_gp))
+                vs.append(jnp.squeeze(var))
+            return jnp.stack(mus), jnp.stack(vs)
+
         def mean_step(x, u, p, t, h):
             xn, _ = core(x, jnp.zeros(base.n_z, x.dtype), u, p, t, h)
-            for (fn, feat_idx), row in zip(gp_fns, gp_rows):
-                feats = jnp.stack([x[i] if kind == "x" else u[i]
-                                   for kind, i in feat_idx])
-                mu_gp, _ = fn(feats)
-                xn = xn.at[row].add(jnp.squeeze(mu_gp))
+            if gp_fns:
+                d, _ = gp_eval(x, u)
+                xn = xn + jnp.asarray(B_w, x.dtype) @ d
             return xn
 
-        def gp_vars(x, u):
-            out = jnp.zeros(nx, x.dtype)
-            for (fn, feat_idx), row in zip(gp_fns, gp_rows):
-                feats = jnp.stack([x[i] if kind == "x" else u[i]
-                                   for kind, i in feat_idx])
-                _, var = fn(feats)
-                out = out.at[row].add(jnp.squeeze(var))
-            return out
+        def gp_cov(x, u):
+            """Bw Kd0 Bwᵀ — the exogenous part of the covariance update."""
+            if not gp_fns:
+                return jnp.zeros((nx, nx), x.dtype)
+            _, vs = gp_eval(x, u)
+            Bx = jnp.asarray(B_w, x.dtype)
+            return (Bx * vs) @ Bx.T
 
         surrogate = Model(name=f"{base.name}_smpc_surrogate", discrete=True,
                           time_unit=base.time_unit)
@@ -134,8 +180,7 @@ class SMPC(NMPC):
             if K_fb is not None:
                 B = jax.jacfwd(lambda uu: mean_step(mu, uu, p, t, h))(u)
                 A = A - B @ jnp.asarray(K_fb, xs.dtype)
-            Sig = jnp.diag(gp_vars(mu, u))
-            P_next = A @ P @ A.T + Sig
+            P_next = A @ P @ A.T + gp_cov(mu, u)
             P_next = 0.5 * (P_next + P_next.T)
             return jnp.concatenate([mu_next, P_next.reshape(-1)])
 

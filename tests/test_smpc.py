@@ -110,6 +110,84 @@ class TestSMPC:
         assert v_closed < v_open
 
 
+class TestDisturbanceMatrix:
+    def test_gp_list_requires_matrix(self):
+        with pytest.raises(ValueError, match="disturbance_matrix"):
+            SMPC(make_model(), gps=[make_gp()])
+
+    def test_matrix_shape_validated(self):
+        with pytest.raises(ValueError, match="shape"):
+            SMPC(make_model(), gps=[make_gp()],
+                 disturbance_matrix=np.ones((3, 1)))
+
+    def test_propagation_matches_reference_block_algebra(self):
+        # one GP feeding BOTH states through Bw = [[0.3], [1.0]]; the surrogate's
+        # covariance update must equal the reference's bigK block form
+        # (reference: _create_deterministic_surrogate, mpc.py:2512-2614):
+        #   K+ = [Jf Bw] [[Kz, Kz Jgᵀ],[Jg Kz, Kd0 + Jg Kz Jgᵀ]] [Jf Bw]ᵀ
+        # evaluated here WITHOUT feedback (Kz = Kx).
+        import jax
+        import jax.numpy as jnp
+
+        gp = make_gp()
+        Bw = np.array([[0.3], [1.0]])
+        smpc = SMPC(make_model(), gps=[gp], disturbance_matrix=Bw, dt=0.1)
+        xs0 = np.array([0.4, -0.2])
+        P0 = np.array([[0.02, 0.005], [0.005, 0.01]])
+        u0 = np.array([0.3])
+        state = jnp.concatenate([jnp.asarray(xs0), jnp.asarray(P0).ravel()])
+        out = np.asarray(smpc._model._ode(state, jnp.zeros(0), jnp.asarray(u0),
+                                          jnp.zeros(0), 0.0))
+        P_plus = out[2:].reshape(2, 2)
+
+        gp_fn = gp.predict_fn()
+
+        def nominal(x, u):
+            dx = jnp.array([x[1], -0.5 * x[0] - 0.4 * x[1] + u[0]])
+            return x + 0.1 * dx          # one RK4 step of a linear ODE == euler?
+
+        # use the surrogate's own mean map for Jf to avoid integrator mismatch:
+        # Jf must be the jacobian of the NOMINAL part only, so subtract the GP term
+        def mean_map(x, u):
+            mu = jnp.concatenate([x, jnp.zeros(4)])
+            return smpc._model._ode(mu, jnp.zeros(0), u, jnp.zeros(0), 0.0)[:2]
+
+        def gp_d(x, u):
+            mu_d, _ = gp_fn(jnp.array([x[0]]))
+            return jnp.atleast_1d(jnp.squeeze(mu_d))
+
+        Jfull_x = np.asarray(jax.jacfwd(mean_map)(jnp.asarray(xs0),
+                                                  jnp.asarray(u0)))
+        Jg = np.asarray(jax.jacfwd(gp_d)(jnp.asarray(xs0), jnp.asarray(u0)))
+        Jf = Jfull_x - Bw @ Jg            # nominal-only jacobian
+        _, var_d = gp_fn(jnp.array([xs0[0]]))
+        Kd0 = np.atleast_2d(float(var_d))
+
+        Kz = P0
+        Kzd = Kz @ Jg.T
+        Kd = Kd0 + Jg @ Kz @ Jg.T
+        bigK = np.block([[Kz, Kzd], [Kzd.T, Kd]])
+        JB = np.hstack([Jf, Bw])
+        expected = JB @ bigK @ JB.T
+        np.testing.assert_allclose(P_plus, expected, rtol=1e-6, atol=1e-10)
+
+    def test_shared_gp_induces_cross_covariance(self):
+        # starting from P0 = 0, a single GP feeding both states must induce a
+        # CORRELATED covariance (off-diagonal = Bw_0 Bw_1 var) after one step
+        import jax.numpy as jnp
+
+        gp = make_gp()
+        Bw = np.array([[0.5], [1.0]])
+        smpc = SMPC(make_model(), gps=[gp], disturbance_matrix=Bw, dt=0.1)
+        state = jnp.concatenate([jnp.array([0.4, -0.2]), jnp.zeros(4)])
+        out = np.asarray(smpc._model._ode(state, jnp.zeros(0), jnp.array([0.0]),
+                                          jnp.zeros(0), 0.0))
+        P_plus = out[2:].reshape(2, 2)
+        gp_fn = gp.predict_fn()
+        _, var_d = gp_fn(jnp.array([0.4]))
+        np.testing.assert_allclose(P_plus, float(var_d) * Bw @ Bw.T, rtol=1e-6)
+
+
 class TestChanceConstraintMonteCarlo:
     def test_violation_rate_within_level(self):
         # closed loop under disturbances drawn from the fitted GP: the 95%
