@@ -135,29 +135,48 @@ class Model:
     def dtype(self): return self._dtype
 
     # -- declaration --------------------------------------------------------
-    def set_dynamical_states(self, names, **meta):
+    @staticmethod
+    def _vector_decl(names, dim):
+        """Normalize the reference's vector-declaration forms (reference:
+        set_dynamical_states('x', 3) / (3, 'x') / 3 → names x_0..x_2;
+        dynamic_model.py:793-807, naming via ca.SX.sym(name, n))."""
+        if dim is None:
+            return names
+        if isinstance(names, str) and isinstance(dim, (int, np.integer)):
+            name, n = names, int(dim)
+        elif isinstance(dim, str) and isinstance(names, (int, np.integer)):
+            name, n = dim, int(names)
+        else:
+            raise TypeError("vector declaration takes (name, dim) or (dim, name)")
+        if n < 0:
+            raise ValueError(f"vector dimension must be >= 0, got {n}")
+        if n == 1:
+            return [name]
+        return [f"{name}_{i}" for i in range(n)]
+
+    def set_dynamical_states(self, names, dim=None, **meta):
         self._x = VarSpec()
-        self._x.add(names, prefix="x")
+        self._x.add(self._vector_decl(names, dim), prefix="x")
         return self
 
-    def set_algebraic_states(self, names, **meta):
+    def set_algebraic_states(self, names, dim=None, **meta):
         self._z = VarSpec()
-        self._z.add(names, prefix="z")
+        self._z.add(self._vector_decl(names, dim), prefix="z")
         return self
 
-    def set_inputs(self, names, **meta):
+    def set_inputs(self, names, dim=None, **meta):
         self._u = VarSpec()
-        self._u.add(names, prefix="u")
+        self._u.add(self._vector_decl(names, dim), prefix="u")
         return self
 
-    def set_parameters(self, names, **meta):
+    def set_parameters(self, names, dim=None, **meta):
         self._p = VarSpec()
-        self._p.add(names, prefix="p")
+        self._p.add(self._vector_decl(names, dim), prefix="p")
         return self
 
-    def set_measurements(self, names, **meta):
+    def set_measurements(self, names, dim=None, **meta):
         self._y = VarSpec()
-        self._y.add(names, prefix="y")
+        self._y.add(self._vector_decl(names, dim), prefix="y")
         return self
 
     def set_dynamical_equations(self, fn: Union[Callable, str, Sequence[str]]):

@@ -28,6 +28,33 @@ class TestDeclaration:
         m.set_dynamical_states(3)
         assert m.dynamical_states == ["x_0", "x_1", "x_2"]
 
+    def test_named_vector_declaration(self):
+        # reference forms: set_dynamical_states('T', 3) and (3, 'T')
+        # (reference: dynamic_model.py:793-807)
+        m = Model()
+        m.set_dynamical_states("T", 3)
+        m.set_inputs(2, "q")
+        m.set_parameters("k", 1)
+        assert m.dynamical_states == ["T_0", "T_1", "T_2"]
+        assert m.inputs == ["q_0", "q_1"]
+        assert m.parameters == ["k"]
+
+    def test_named_vector_declaration_in_dsl(self):
+        # generated element names are plain DSL identifiers
+        m = Model(discrete=True)
+        m.set_dynamical_states("s", 2)
+        m.set_equations(ode=["s_0(k+1) = s_0 + 0.1*s_1", "s_1(k+1) = 0.9*s_1"])
+        m.setup(dt=1.0)
+        m.set_initial_conditions([1.0, 1.0])
+        out = m.simulate(steps=1)["x"][-1]
+        np.testing.assert_allclose(out, [1.1, 0.9], rtol=1e-6)
+
+    def test_bad_vector_declaration_raises(self):
+        with pytest.raises(TypeError):
+            Model().set_dynamical_states("a", "b")
+        with pytest.raises(ValueError):
+            Model().set_dynamical_states("a", -1)
+
     def test_duplicate_names_raise(self):
         m = Model()
         with pytest.raises(ValueError):
