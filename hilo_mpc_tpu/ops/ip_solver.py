@@ -583,22 +583,30 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
 
         # backtracking line search on the l1 barrier merit (candidates evaluated
         # in parallel — a vmapped "batch over alphas" instead of a data-dependent loop)
-        alphas = a_s * (0.5 ** jnp.arange(opt.n_linesearch, dtype=dtype))
+        if opt.n_linesearch <= 1:
+            # single candidate: both acceptance branches select it, so the merit
+            # rollouts are dead code — skip them explicitly (a merit rollout is
+            # a full horizon re-evaluation; NaN steps are still caught by the
+            # finiteness guard below)
+            alpha = a_s
+        else:
+            alphas = a_s * (0.5 ** jnp.arange(opt.n_linesearch, dtype=dtype))
 
-        def merit_at(a):
-            return merit(X + a * dX, U + a * dU, s + a * ds, sN + a * dsN, mu,
-                         nu_new, Y, yN, rho)
+            def merit_at(a):
+                return merit(X + a * dX, U + a * dU, s + a * ds, sN + a * dsN,
+                             mu, nu_new, Y, yN, rho)
 
-        phis = jax.vmap(merit_at)(alphas)
-        phi0 = merit(X, U, s, sN, mu, nu_new, Y, yN, rho)
-        # accept the largest step that does not increase the merit (up to roundoff —
-        # near the solution Newton steps change the merit by ~eps, and demanding a
-        # strict decrease would stall the iteration); otherwise take the best trial
-        ok = (phis <= phi0 + 1e-12 * (1.0 + jnp.abs(phi0))) & jnp.isfinite(phis)
-        any_ok = jnp.any(ok)
-        first_ok = jnp.argmax(ok)  # first True (largest alpha)
-        best = jnp.argmin(jnp.where(jnp.isfinite(phis), phis, jnp.inf))
-        alpha = jnp.where(any_ok, alphas[first_ok], alphas[best])
+            phis = jax.vmap(merit_at)(alphas)
+            phi0 = merit(X, U, s, sN, mu, nu_new, Y, yN, rho)
+            # accept the largest step that does not increase the merit (up to
+            # roundoff — near the solution Newton steps change the merit by ~eps,
+            # and demanding a strict decrease would stall the iteration);
+            # otherwise take the best trial
+            ok = (phis <= phi0 + 1e-12 * (1.0 + jnp.abs(phi0))) & jnp.isfinite(phis)
+            any_ok = jnp.any(ok)
+            first_ok = jnp.argmax(ok)  # first True (largest alpha)
+            best = jnp.argmin(jnp.where(jnp.isfinite(phis), phis, jnp.inf))
+            alpha = jnp.where(any_ok, alphas[first_ok], alphas[best])
 
         X_new = X + alpha * dX
         U_new = U + alpha * dU
