@@ -729,12 +729,47 @@ class NMPC:
             p_rows[:, tvp_idx] = vals[:N + 1]
         return p_rows
 
-    def _assemble_refs(self, terms, ref_arg, N, step0, terminal=False):
+    def _ref_dict_column(self, name, value, N, step0, what):
+        """One reference column for a named variable from a ref_sc/ref_tc dict
+        entry: a scalar holds the setpoint over the horizon; a sequence longer
+        than 1 is a time series indexed by the closed-loop step count
+        (reference: _parse_trajectory_values, mpc.py:366-473)."""
+        v = np.asarray(value, dtype=float).ravel()
+        if v.size == 1:
+            return np.full(N + 1, float(v[0]))
+        if step0 + N + 1 > v.size:
+            raise ValueError(
+                f"time-varying reference for '{name}' ({what}) has {v.size} "
+                f"points but step {step0} needs {step0 + N + 1} "
+                f"(horizon {N}); supply more data points")
+        return v[step0:step0 + N + 1]
+
+    def _assemble_refs(self, terms, ref_arg, N, step0, terminal=False,
+                       ref_dict=None):
+        what = "ref_tc" if terminal else "ref_sc"
+        if ref_dict is not None:
+            known = {n for term in terms if term.runtime_ref for n in term.names}
+            unknown = set(ref_dict) - known
+            if unknown:
+                raise ValueError(
+                    f"unknown variable(s) {sorted(unknown)} in {what}: no "
+                    f"trajectory-tracking cost term references them "
+                    f"(tracked: {sorted(known)})")
         cols = []
+        col0 = 0  # running offset into a plain-array ref_arg
         for term in terms:
             if not term.runtime_ref:
                 continue
-            if term.ref is not None and term.ref.ndim == 2:
+            if ref_dict is not None and any(n in ref_dict for n in term.names):
+                block = np.zeros((N + 1, term.n))
+                for j, n in enumerate(term.names):
+                    if n in ref_dict:
+                        block[:, j] = self._ref_dict_column(
+                            n, ref_dict[n], N, step0, what)
+                    elif term.ref is not None and term.ref.ndim == 1:
+                        block[:, j] = term.ref[j]
+                cols.append(block)
+            elif term.ref is not None and term.ref.ndim == 2:
                 T = term.ref.shape[0]
                 rows = np.minimum(step0 + np.arange(N + 1), T - 1)
                 cols.append(term.ref[rows])
@@ -742,26 +777,34 @@ class NMPC:
                 r = np.asarray(ref_arg, dtype=float)
                 if r.ndim == 1:
                     r = np.tile(r[None, :], (N + 1, 1))
-                cols.append(r[:, :term.n])
+                cols.append(r[:, col0:col0 + term.n])
             elif term.ref is not None:
                 cols.append(np.tile(term.ref[None, :], (N + 1, 1)))
+            elif term.trajectory_tracking:
+                raise ValueError(
+                    f"variable(s) {term.names} follow a runtime reference but "
+                    f"none was supplied — pass {what}={{name: value}} (or "
+                    f"ref=array) to optimize()/run() "
+                    f"(reference: mpc.py:418-425)")
             else:
                 cols.append(np.zeros((N + 1, term.n)))
+            col0 += term.n
         if cols:
             return np.concatenate(cols, axis=1)
         return np.zeros((N + 1, 0))
 
-    def _assemble_theta(self, cp, tvp, ref, N=None):
+    def _assemble_theta(self, cp, tvp, ref, N=None, ref_sc=None, ref_tc=None):
         N = N or self._horizon
         step0 = self._step_count
         t_col = self._time + self._dt * np.arange(N + 1)
         dt_col = np.full(N + 1, self._dt)
         p_rows = self._assemble_p_rows(cp, tvp, N, step0)
         refs_s = self._assemble_refs(
-            [t for t in self.quad_stage_cost.terms if t.runtime_ref], ref, N, step0)
+            [t for t in self.quad_stage_cost.terms if t.runtime_ref], ref, N,
+            step0, ref_dict=ref_sc)
         refs_t = self._assemble_refs(
             [t for t in self.quad_terminal_cost.terms if t.runtime_ref], ref, N,
-            step0, terminal=True)
+            step0, terminal=True, ref_dict=ref_tc)
         theta = np.concatenate(
             [t_col[:, None], dt_col[:, None], p_rows, refs_s, refs_t], axis=1)
         return theta
@@ -914,17 +957,24 @@ class NMPC:
 
     # -- solve -----------------------------------------------------------------
     def optimize(self, x0, cp=None, tvp=None, ref=None, runs: int = 1,
-                 seed: int = 0):
+                 seed: int = 0, ref_sc=None, ref_tc=None):
         """One MPC step: solve the horizon problem from measured state x0 and return
-        the first control move (reference: mpc.py:744-857)."""
+        the first control move (reference: mpc.py:744-857). ref_sc / ref_tc map
+        variable names to stage/terminal reference values (scalar setpoint or a
+        time series) for trajectory-tracking cost terms, like the reference's
+        optimize kwargs (mpc.py:366-473)."""
         if not self._setup_done:
             raise RuntimeError("call setup() first")
+        for nm, d in (("ref_sc", ref_sc), ("ref_tc", ref_tc)):
+            if d is not None and not isinstance(d, dict):
+                raise TypeError(f"{nm} must be a dict mapping variable names to "
+                                f"reference values, got {type(d).__name__}")
         t_wall = _time.perf_counter()
         x0 = np.asarray(x0, dtype=float).ravel()
         if x0.size != self._model.n_x:
             raise ValueError(f"x0 has {x0.size} entries, expected {self._model.n_x} "
                              f"({self._model.dynamical_states})")
-        theta = self._assemble_theta(cp, tvp, ref)
+        theta = self._assemble_theta(cp, tvp, ref, ref_sc=ref_sc, ref_tc=ref_tc)
         xs0 = self._solver_x0(x0)
         X_init, U_init = self._initial_trajectory(xs0, theta)
         dtype = self._solver_dtype

@@ -39,11 +39,11 @@ class SimpleControlLoop:
         self.solution.register("u", plant.inputs)
         self.solution.register("y", plant.measurements)
 
-    def _control(self, x0, k):
+    def _control(self, x0, k, **kwargs):
         c = self._controller
         if hasattr(c, "optimize"):
             x_c = x0 if self._ctrl_idx is None else x0[self._ctrl_idx]
-            return np.atleast_1d(np.asarray(c.optimize(x_c)))
+            return np.atleast_1d(np.asarray(c.optimize(x_c, **kwargs)))
         if hasattr(c, "call"):
             return np.atleast_1d(np.asarray(c.call(x0)))
         if hasattr(c, "predict"):
@@ -55,14 +55,17 @@ class SimpleControlLoop:
             return np.atleast_1d(np.asarray(c(x0)))
         raise TypeError(f"unsupported controller {type(c).__name__}")
 
-    def run(self, steps: int, p=None, live_plot: bool = False):
+    def run(self, steps: int, p=None, live_plot: bool = False, **kwargs):
+        """Run the closed loop. Extra kwargs (e.g. ref_sc / ref_tc setpoint
+        dicts) are forwarded to the controller's optimize call each step, like
+        the reference (control_loop.py:366,399)."""
         plant = self._plant
         if plant.solution is None or plant.solution.n_samples == 0:
             raise RuntimeError("set plant initial conditions first "
                                "(plant.set_initial_conditions(x0))")
         x0 = plant.solution["x:f"]
         for k in range(steps):
-            u = self._control(x0, k)
+            u = self._control(x0, k, **kwargs)
             out = plant.simulate(u=u, p=p, steps=1)
             x_true = out["x"][-1]
             y = out["y"][-1]
