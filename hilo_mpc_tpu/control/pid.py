@@ -31,9 +31,9 @@ class PID:
                  derivative_on_process_value: bool = False, plot_backend=None):
         self.name = name or "pid"
         self._n = int(n_set_points)
-        self.k_p = np.ones(self._n) if k_p is None else self._diag(k_p)
-        self.t_i = np.full(self._n, np.inf) if t_i is None else self._diag(t_i)
-        self.t_d = np.zeros(self._n) if t_d is None else self._diag(t_d)
+        self.k_p = np.ones(self._n) if k_p is None else k_p
+        self.t_i = np.full(self._n, np.inf) if t_i is None else t_i
+        self.t_d = np.zeros(self._n) if t_d is None else t_d
         self._p_on_pv = bool(proportional_on_process_value)
         self._d_on_pv = bool(derivative_on_process_value)
         self._set_point = np.zeros(self._n)
@@ -65,8 +65,47 @@ class PID:
 
     @set_point.setter
     def set_point(self, val):
-        self._set_point = np.broadcast_to(
-            np.asarray(val, dtype=float).ravel(), (self._n,)).copy()
+        v = np.asarray(val, dtype=float).ravel()
+        if v.size not in (1, self._n):
+            raise ValueError(
+                f"Dimension mismatch. Supplied dimension for the set point is "
+                f"{v.size}x1, but required dimension is {self._n}x1.")
+        self._set_point = np.broadcast_to(v, (self._n,)).copy()
+
+    # tuning properties validate like the reference (pid.py k_p/t_i/t_d setters:
+    # scalar broadcast, diagonal matrices only, derived k_i = k_p/t_i and
+    # k_d = k_p*t_d)
+    @property
+    def k_p(self):
+        return np.array(self._k_p)
+
+    @k_p.setter
+    def k_p(self, val):
+        self._k_p = self._diag(val)
+
+    @property
+    def t_i(self):
+        return np.array(self._t_i)
+
+    @t_i.setter
+    def t_i(self, val):
+        self._t_i = self._diag(val)
+
+    @property
+    def t_d(self):
+        return np.array(self._t_d)
+
+    @t_d.setter
+    def t_d(self, val):
+        self._t_d = self._diag(val)
+
+    @property
+    def k_i(self):
+        return self.k_p / self.t_i
+
+    @property
+    def k_d(self):
+        return self.k_p * self.t_d
 
     @property
     def tunings(self):
@@ -75,9 +114,9 @@ class PID:
     @tunings.setter
     def tunings(self, vals):
         k_p, t_i, t_d = vals
-        self.k_p = self._diag(k_p)
-        self.t_i = self._diag(t_i)
-        self.t_d = self._diag(t_d)
+        self.k_p = k_p
+        self.t_i = t_i
+        self.t_d = t_d
 
     def set_output_limits(self, lb=-np.inf, ub=np.inf):
         self._u_bounds = (lb, ub)

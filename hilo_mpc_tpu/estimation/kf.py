@@ -61,6 +61,35 @@ class _KalmanFilterBase(Estimator):
             raise RuntimeError("call setup() first")
         return self._step
 
+    def predict(self, x=None, P=None, u=None, p=None, t: Optional[float] = None):
+        """Prediction step only: (x, P) -> (x_pred, P_pred). Pure — does not
+        advance the filter state (reference exposes predict/update separately,
+        tests/test_KFs.py:488-522)."""
+        if not self._setup_done:
+            raise RuntimeError("call setup() first")
+        x = jnp.asarray(self._x_current() if x is None else x, dtype=float)
+        P = jnp.asarray(self._P if P is None else P, dtype=float)
+        u = jnp.asarray(np.zeros(self.n_u) if u is None else u, dtype=float)
+        p_vec = jnp.asarray(self._p_or_default(p), dtype=float)
+        t = self._time if t is None else float(t)
+        x_pr, P_pr = self._predict_impl(x, P, u, p_vec, t)
+        return np.asarray(x_pr), np.asarray(P_pr)
+
+    def update(self, x_pred, P_pred, y, u=None, p=None,
+               t: Optional[float] = None):
+        """Measurement update only: (x_pred, P_pred, y) ->
+        (x_new, P_new, y_pred). Pure — does not advance the filter state."""
+        if not self._setup_done:
+            raise RuntimeError("call setup() first")
+        x_pr = jnp.asarray(x_pred, dtype=float)
+        P_pr = jnp.asarray(P_pred, dtype=float)
+        y = jnp.asarray(np.atleast_1d(y), dtype=float)
+        u = jnp.asarray(np.zeros(self.n_u) if u is None else u, dtype=float)
+        p_vec = jnp.asarray(self._p_or_default(p), dtype=float)
+        t = self._time if t is None else float(t)
+        x_new, P_new, y_pr = self._update_impl(x_pr, P_pr, y, u, p_vec, t)
+        return np.asarray(x_new), np.asarray(P_new), np.asarray(y_pr)
+
     def estimate(self, y, u=None, p=None):
         """One (or several) filter updates from measurement(s) y."""
         if not self._setup_done:
@@ -113,26 +142,31 @@ class KalmanFilter(_KalmanFilterBase):
 
     def _build_step(self):
         F, H = self._F, self._H
-        nx, ny = self.n_x, self.n_y
-        Qc = jnp.asarray(self._Q)
-        Rc = jnp.asarray(self._R)
+        nx = self.n_x
 
-        def step(x, P, u, p, y, t):
+        def predict(x, P, u, p, t):
             Q = jnp.asarray(self._Q, x.dtype)
-            R = jnp.asarray(self._R, x.dtype)
             A = jax.jacfwd(F, argnums=0)(x, u, p, t)
             x_pr = F(x, u, p, t)
             P_pr = A @ P @ A.T + Q
-            C = jax.jacfwd(H, argnums=0)(x_pr, u, p, t + self._dt)
-            y_pr = H(x_pr, u, p, t + self._dt)
+            return x_pr, P_pr
+
+        def update(x_pr, P_pr, y, u, p, t):
+            R = jnp.asarray(self._R, x_pr.dtype)
+            C = jax.jacfwd(H, argnums=0)(x_pr, u, p, t)
+            y_pr = H(x_pr, u, p, t)
             S = C @ P_pr @ C.T + R
             K = jnp.linalg.solve(S.T, (P_pr @ C.T).T).T
             x_new = x_pr + K @ (y - y_pr)
-            I_KC = jnp.eye(nx, dtype=x.dtype) - K @ C
+            I_KC = jnp.eye(nx, dtype=x_pr.dtype) - K @ C
             P_new = I_KC @ P_pr @ I_KC.T + K @ R @ K.T   # Joseph form
             return x_new, 0.5 * (P_new + P_new.T), y_pr
 
-        self._step = step
+        def step(x, P, u, p, y, t):
+            x_pr, P_pr = predict(x, P, u, p, t)
+            return update(x_pr, P_pr, y, u, p, t + self._dt)
+
+        self._predict_impl, self._update_impl, self._step = predict, update, step
 
 
 class ExtendedKalmanFilter(KalmanFilter):
@@ -195,9 +229,8 @@ class UnscentedKalmanFilter(_KalmanFilterBase):
         F, H = self._F, self._H
         nx = self.n_x
 
-        def step(x, P, u, p, y, t):
+        def predict(x, P, u, p, t):
             Q = jnp.asarray(self._Q, x.dtype)
-            R = jnp.asarray(self._R, x.dtype)
             lam, wm, wc = self._weights(nx, x.dtype)
             L = jnp.linalg.cholesky((nx + lam) * (P + 1e-12 * jnp.eye(nx, dtype=x.dtype)))
             sig = jnp.concatenate(
@@ -206,12 +239,18 @@ class UnscentedKalmanFilter(_KalmanFilterBase):
             x_pr = jnp.einsum("i,in->n", wm, sig_pr)
             dX = sig_pr - x_pr
             P_pr = jnp.einsum("i,in,im->nm", wc, dX, dX) + Q
+            return x_pr, P_pr
+
+        def update(x_pr, P_pr, y, u, p, t):
+            R = jnp.asarray(self._R, x_pr.dtype)
+            lam, wm, wc = self._weights(nx, x_pr.dtype)
             # re-draw sigma points about the predicted mean for the update
             L2 = jnp.linalg.cholesky(
-                (nx + lam) * (P_pr + 1e-12 * jnp.eye(nx, dtype=x.dtype)))
+                (nx + lam) * (P_pr + 1e-12 * jnp.eye(nx, dtype=x_pr.dtype)))
             sig2 = jnp.concatenate(
-                [x_pr[None, :], x_pr[None, :] + L2.T, x_pr[None, :] - L2.T], axis=0)
-            ysig = jax.vmap(lambda s: H(s, u, p, t + self._dt))(sig2)
+                [x_pr[None, :], x_pr[None, :] + L2.T, x_pr[None, :] - L2.T],
+                axis=0)
+            ysig = jax.vmap(lambda s: H(s, u, p, t))(sig2)
             y_pr = jnp.einsum("i,in->n", wm, ysig)
             dY = ysig - y_pr
             dX2 = sig2 - x_pr
@@ -222,4 +261,8 @@ class UnscentedKalmanFilter(_KalmanFilterBase):
             P_new = P_pr - K @ P_yy @ K.T
             return x_new, 0.5 * (P_new + P_new.T), y_pr
 
-        self._step = step
+        def step(x, P, u, p, y, t):
+            x_pr, P_pr = predict(x, P, u, p, t)
+            return update(x_pr, P_pr, y, u, p, t + self._dt)
+
+        self._predict_impl, self._update_impl, self._step = predict, update, step

@@ -28,7 +28,7 @@ class GaussianProcess:
                  labels: Union[str, List[str]],
                  kernel: Optional[Kernel] = None,
                  mean: Optional[Mean] = None,
-                 noise_variance: float = 1e-6,
+                 noise_variance: float = 1.0,
                  inference: str = "exact",
                  likelihood: str = "gaussian",
                  solver: str = "scipy",
@@ -128,7 +128,9 @@ class GaussianProcess:
     def _nll(self, params):
         X = jnp.asarray(self.X_train)
         y = jnp.asarray(self.y_train)
-        sn2 = jnp.squeeze(params[self.noise_variance.name])
+        # the stored value acts as a standard deviation, like the reference
+        # (inference.py:199 exp(2*log_noise))
+        sn2 = jnp.squeeze(params[self.noise_variance.name]) ** 2
         lml = ExactInference.log_marginal_likelihood(
             self.kernel, self.mean, params, X, y, sn2)
         logp = 0.0
@@ -151,7 +153,7 @@ class GaussianProcess:
 
     def _refresh_state(self):
         params = self._params()
-        sn2 = float(np.squeeze(self.noise_variance.value))
+        sn2 = float(np.squeeze(self.noise_variance.value)) ** 2
         L, alpha, _ = ExactInference.posterior_state(
             self.kernel, self.mean, params, jnp.asarray(self.X_train),
             jnp.asarray(self.y_train), sn2)
@@ -179,11 +181,19 @@ class GaussianProcess:
             # reference itself falls back to SciPy (util/optimizer.py:145)
             from scipy.optimize import minimize
 
-            res = minimize(
-                lambda w: np.asarray(obj(jnp.asarray(w)), dtype=float),
-                w0, jac=lambda w: np.asarray(grad(jnp.asarray(w)), dtype=float),
-                method="L-BFGS-B", bounds=bounds,
-                options={"maxiter": max_iter})
+            # NaN-guard: a trial step can push hyperparameters where the
+            # Cholesky fails; report a huge objective (and zero gradient)
+            # there so the line search backtracks instead of aborting
+            def f_np(w):
+                v = float(np.asarray(obj(jnp.asarray(w))))
+                return v if np.isfinite(v) else 1e12
+
+            def g_np(w):
+                g = np.asarray(grad(jnp.asarray(w)), dtype=float)
+                return np.nan_to_num(g, nan=0.0, posinf=1e6, neginf=-1e6)
+
+            res = minimize(f_np, w0, jac=g_np, method="L-BFGS-B",
+                           bounds=bounds, options={"maxiter": max_iter})
             w_best = res.x
         elif solver == "adam":
             # whole optimization as ONE device dispatch (lax.scan over steps) —
@@ -227,7 +237,7 @@ class GaussianProcess:
         L, alpha = self._state
         params = self._params()
         X = jnp.asarray(self.X_train)
-        sn2 = float(np.squeeze(self.noise_variance.value))
+        sn2 = float(np.squeeze(self.noise_variance.value)) ** 2
         kernel, mean = self.kernel, self.mean
 
         def fn(x_star):

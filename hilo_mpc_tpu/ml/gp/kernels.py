@@ -92,6 +92,8 @@ class Kernel:
 
     # -- operator algebra ---------------------------------------------------
     def __add__(self, other):
+        if not isinstance(other, Kernel):
+            other = _wrap_const(other)
         return Sum(self, other)
 
     def __radd__(self, other):
@@ -115,7 +117,11 @@ class Kernel:
 
 
 def _wrap_const(c):
-    k = ConstantKernel(bias=float(c))
+    c = float(c)
+    if c < 0:
+        raise ValueError("adding a negative constant does not give a valid "
+                         "covariance function")
+    k = ConstantKernel(bias=c ** 0.5)  # bias is squared in the covariance
     k.bias.fixed = True
     return k
 
@@ -126,6 +132,10 @@ def _wrap_const(c):
 
 
 class ConstantKernel(Kernel):
+    """k(x, x') = bias^2 — the stored value acts as a standard deviation,
+    matching the reference numerically (reference: gp/kernel.py:480
+    exp(2*log_bias); its tests pin bias=2 -> cov 4, tests/test_kernels.py:87)."""
+
     acronym = "Const"
 
     def __init__(self, bias: float = 1.0, active_dims=None, bounds=None):
@@ -133,7 +143,7 @@ class ConstantKernel(Kernel):
         self.bias = self._add_hp("bias", bias, bounds=bounds)
 
     def eval(self, params, x, y):
-        return params[self.bias.name] * jnp.ones(())
+        return params[self.bias.name] ** 2 * jnp.ones(())
 
 
 class StationaryKernel(Kernel):
@@ -168,7 +178,7 @@ class GammaExponentialKernel(StationaryKernel):
     def eval(self, params, x, y):
         r2 = self._r2(params, x, y)
         g = params[self.gamma.name]
-        return params[self.signal_variance.name] * jnp.exp(
+        return params[self.signal_variance.name] ** 2 * jnp.exp(
             -0.5 * (r2 + 1e-36) ** (g / 2.0))
 
 
@@ -176,32 +186,45 @@ class SquaredExponentialKernel(StationaryKernel):
     acronym = "SE"
 
     def eval(self, params, x, y):
-        return params[self.signal_variance.name] * jnp.exp(
+        return params[self.signal_variance.name] ** 2 * jnp.exp(
             -0.5 * self._r2(params, x, y))
 
 
 class MaternKernel(StationaryKernel):
-    """Matern with half-integer smoothness nu in {0.5, 1.5, 2.5}."""
+    """Matern with any half-integer smoothness nu = p + 1/2 (p = 0, 1, 2, ...),
+    like the reference's generic polynomial form (reference: gp/kernel.py:783-826;
+    Rasmussen & Williams eq. 4.16):
+        k = sv^2 * exp(-d) * Gamma(p+1)/Gamma(2p+1)
+            * sum_i (p+i)!/(i! (p-i)!) (2d)^(p-i),   d = sqrt(2 nu) * r."""
 
     acronym = "M"
 
     def __init__(self, nu: float = 1.5, active_dims=None, signal_variance=1.0,
                  length_scales=1.0, **kw):
         super().__init__(active_dims, signal_variance, length_scales)
-        if nu not in (0.5, 1.5, 2.5):
-            raise ValueError("nu must be one of 0.5, 1.5, 2.5")
+        p = nu - 0.5
+        if p < 0 or abs(p - round(p)) > 1e-12:
+            raise ValueError("nu must be a half-integer: 0.5, 1.5, 2.5, 3.5, ...")
         self.nu = nu
+        self._p = int(round(p))
+        # static polynomial coefficients c_k of f(d) = sum_k c_k d^k
+        from math import factorial
+        pp = self._p
+        norm = factorial(pp) / factorial(2 * pp)
+        self._poly = np.array(
+            [norm * factorial(pp + i) / (factorial(i) * factorial(pp - i))
+             * 2.0 ** (pp - i) for i in range(pp + 1)][::-1])
+        # self._poly[k] multiplies d^k (k = 0 .. p); for p=1 -> [1, 1],
+        # p=2 -> [1, 1, 1/3]
 
     def eval(self, params, x, y):
         r = jnp.sqrt(self._r2(params, x, y) + 1e-36)
-        sv = params[self.signal_variance.name]
-        if self.nu == 0.5:
-            return sv * jnp.exp(-r)
-        if self.nu == 1.5:
-            a = jnp.sqrt(3.0) * r
-            return sv * (1.0 + a) * jnp.exp(-a)
-        a = jnp.sqrt(5.0) * r
-        return sv * (1.0 + a + a * a / 3.0) * jnp.exp(-a)
+        sv = params[self.signal_variance.name] ** 2
+        d = jnp.sqrt(2.0 * self.nu) * r
+        f = jnp.zeros(())
+        for c in self._poly[::-1]:   # Horner
+            f = f * d + c
+        return sv * f * jnp.exp(-d)
 
 
 class ExponentialKernel(MaternKernel):
@@ -239,7 +262,7 @@ class RationalQuadraticKernel(StationaryKernel):
     def eval(self, params, x, y):
         r2 = self._r2(params, x, y)
         a = params[self.alpha.name]
-        return params[self.signal_variance.name] * (1.0 + r2 / (2.0 * a)) ** (-a)
+        return params[self.signal_variance.name] ** 2 * (1.0 + r2 / (2.0 * a)) ** (-a)
 
 
 class PiecewisePolynomialKernel(StationaryKernel):
@@ -278,7 +301,7 @@ class PiecewisePolynomialKernel(StationaryKernel):
                     + (6 * j ** 2 + 36 * j + 45) * r ** 2
                     + (15 * j + 45) * r + 15.0) / 15.0
             e = j + 3
-        return params[self.signal_variance.name] * base ** e * poly
+        return params[self.signal_variance.name] ** 2 * base ** e * poly
 
 
 # ---------------------------------------------------------------------------
@@ -303,7 +326,7 @@ class DotProductKernel(Kernel):
         return jnp.sum((xs / ls) * (ys / ls)) + params[self.offset.name]
 
     def eval(self, params, x, y):
-        return params[self.signal_variance.name] * self._dot(params, x, y)
+        return params[self.signal_variance.name] ** 2 * self._dot(params, x, y)
 
 
 class PolynomialKernel(DotProductKernel):
@@ -317,7 +340,7 @@ class PolynomialKernel(DotProductKernel):
         self.degree = int(degree)
 
     def eval(self, params, x, y):
-        return params[self.signal_variance.name] * self._dot(
+        return params[self.signal_variance.name] ** 2 * self._dot(
             params, x, y) ** self.degree
 
 
@@ -332,8 +355,10 @@ class LinearKernel(PolynomialKernel):
 
 
 class NeuralNetworkKernel(Kernel):
-    """Arcsine (MLP) kernel, Rasmussen & Williams eq. 4.29 with
-    Sigma = diag(weight_variance) over the augmented input (1, x)."""
+    """Arcsine (MLP) kernel in the reference's exact form (reference:
+    gp/kernel.py:1320-1327):
+        k = sv^2 * asin((1 + x.y) / (sqrt(wv^2 + 1 + x.x) * sqrt(wv^2 + 1 + y.y)))
+    Both sv and wv act as standard deviations (squared in the formula)."""
 
     acronym = "NN"
 
@@ -345,11 +370,11 @@ class NeuralNetworkKernel(Kernel):
 
     def eval(self, params, x, y):
         xs, ys = self._select(x), self._select(y)
-        wv = params[self.weight_variance.name]
-        dot = lambda a, b: wv * (1.0 + jnp.sum(a * b))
-        num = 2.0 * dot(xs, ys)
-        den = jnp.sqrt((1.0 + 2.0 * dot(xs, xs)) * (1.0 + 2.0 * dot(ys, ys)))
-        return params[self.signal_variance.name] * (2.0 / jnp.pi) * jnp.arcsin(
+        wv2 = params[self.weight_variance.name] ** 2
+        num = 1.0 + jnp.sum(xs * ys)
+        den = jnp.sqrt((wv2 + 1.0 + jnp.sum(xs * xs))
+                       * (wv2 + 1.0 + jnp.sum(ys * ys)))
+        return params[self.signal_variance.name] ** 2 * jnp.arcsin(
             jnp.clip(num / den, -1.0, 1.0))
 
 
@@ -369,7 +394,8 @@ class PeriodicKernel(Kernel):
         ls = params[self.length_scales.name]
         p = params[self.period.name]
         s = jnp.sin(jnp.pi * jnp.abs(xs - ys) / p) / ls
-        return params[self.signal_variance.name] * jnp.exp(-2.0 * jnp.sum(s * s))
+        return params[self.signal_variance.name] ** 2 * jnp.exp(
+            -2.0 * jnp.sum(s * s))
 
 
 # ---------------------------------------------------------------------------

@@ -350,3 +350,72 @@ class TestEstimatorOptions:
         np.testing.assert_allclose(float(wm1.sum()), 1.0, atol=1e-9)
         np.testing.assert_allclose(float(wm2.sum()), 1.0, atol=1e-9)
         assert not np.allclose(np.asarray(wm1), np.asarray(wm2))
+
+
+class TestPredictUpdateSplit:
+    """Separate predict/update entry points (reference: tests/test_KFs.py:488-522,
+    716-757 exercise kf.predict / kf.update standalone)."""
+
+    def _ekf(self):
+        import jax.numpy as jnp
+
+        from hilo_mpc_tpu import ExtendedKalmanFilter, Model
+
+        m = Model(name="pend")
+        m.set_dynamical_states(["phi", "omega"])
+        m.set_inputs("tau")
+        m.set_measurements(["y_phi"])
+        m.set_measurement_equations(lambda x, u: jnp.atleast_1d(x[0]))
+        m.set_dynamical_equations(
+            lambda x, u: jnp.array([x[1], -jnp.sin(x[0]) + u[0]]))
+        ekf = ExtendedKalmanFilter(m)
+        ekf.Q = 0.01 * np.eye(2)
+        ekf.R = 0.1 * np.eye(1)
+        ekf.setup(dt=0.1)
+        ekf.set_initial_guess([0.2, 0.0])
+        return ekf
+
+    def test_predict_then_update_equals_estimate(self):
+        ekf = self._ekf()
+        u = np.array([0.3])
+        y = np.array([0.25])
+        x_pr, P_pr = ekf.predict(u=u)
+        x_up, P_up, y_pr = ekf.update(x_pr, P_pr, y, u=u, t=0.1)
+        x_est = ekf.estimate(y=y, u=u)
+        np.testing.assert_allclose(x_up, x_est, atol=1e-6)
+        # update contracts the covariance along the measured direction
+        assert P_up[0, 0] < P_pr[0, 0]
+
+    def test_predict_grows_uncertainty(self):
+        ekf = self._ekf()
+        x_pr, P_pr = ekf.predict(u=np.zeros(1))
+        assert np.trace(P_pr) > np.trace(np.asarray(ekf._P)) - 1e-12
+
+    def test_predict_is_pure(self):
+        ekf = self._ekf()
+        P_before = np.array(ekf._P)
+        ekf.predict(u=np.zeros(1))
+        np.testing.assert_allclose(np.asarray(ekf._P), P_before)
+
+    def test_ukf_split_matches_step(self):
+        import jax.numpy as jnp
+
+        from hilo_mpc_tpu import Model, UnscentedKalmanFilter
+
+        m = Model(name="pend2")
+        m.set_dynamical_states(["phi", "omega"])
+        m.set_inputs("tau")
+        m.set_measurements(["y_phi"])
+        m.set_measurement_equations(lambda x, u: jnp.atleast_1d(x[0]))
+        m.set_dynamical_equations(
+            lambda x, u: jnp.array([x[1], -jnp.sin(x[0]) + u[0]]))
+        ukf = UnscentedKalmanFilter(m)
+        ukf.Q = 0.01 * np.eye(2)
+        ukf.R = 0.1 * np.eye(1)
+        ukf.setup(dt=0.1)
+        ukf.set_initial_guess([0.2, 0.0])
+        u, y = np.array([0.3]), np.array([0.25])
+        x_pr, P_pr = ukf.predict(u=u)
+        x_up, _, _ = ukf.update(x_pr, P_pr, y, u=u, t=0.1)
+        x_est = ukf.estimate(y=y, u=u)
+        np.testing.assert_allclose(x_up, x_est, atol=1e-6)

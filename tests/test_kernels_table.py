@@ -19,7 +19,9 @@ r02 = 1.9
 
 
 def se(r, ls=1.0, sv=1.0):
-    return sv * np.exp(-0.5 * (r / ls) ** 2)
+    # sv acts as a standard deviation, matching the reference numerically
+    # (reference: gp/kernel.py exp(2*log_std) in every covariance)
+    return sv ** 2 * np.exp(-0.5 * (r / ls) ** 2)
 
 
 CASES = [
@@ -45,7 +47,7 @@ CASES = [
      (1 + r02 ** 2 / 6) ** -3),
     (lambda: GammaExponentialKernel(gamma=1.0), np.exp(-0.5 * r01),
      np.exp(-0.5 * r02)),
-    (lambda: ConstantKernel(bias=4.2), 4.2, 4.2),
+    (lambda: ConstantKernel(bias=4.2), 4.2 ** 2, 4.2 ** 2),
     (lambda: LinearKernel(), 0.0, 0.0),
     (lambda: PolynomialKernel(degree=3, offset=1.0), 1.0 ** 3, 1.0 ** 3),
     (lambda: DotProductKernel(offset=2.0), 2.0, 2.0),

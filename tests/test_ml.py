@@ -30,12 +30,13 @@ class TestKernels:
         X = np.array([[0.0, 0.0], [2.0, 1.0]])
         K = np.asarray(k(X))
         r2 = (2.0 / 2.0) ** 2 + (1.0 / 0.5) ** 2
-        np.testing.assert_allclose(K[0, 1], 4.0 * np.exp(-0.5 * r2), atol=1e-7)
-        np.testing.assert_allclose(np.diag(K), [4.0, 4.0], atol=1e-7)
+        # signal_variance acts as a standard deviation (reference convention)
+        np.testing.assert_allclose(K[0, 1], 16.0 * np.exp(-0.5 * r2), atol=1e-7)
+        np.testing.assert_allclose(np.diag(K), [16.0, 16.0], atol=1e-6)
 
     def test_constant(self):
         k = ConstantKernel(bias=2.5)
-        np.testing.assert_allclose(np.asarray(k(X1)), 2.5 * np.ones((3, 3)),
+        np.testing.assert_allclose(np.asarray(k(X1)), 6.25 * np.ones((3, 3)),
                                    atol=1e-8)
 
     def test_exponential(self):
@@ -132,8 +133,9 @@ class TestKernels:
         Kscale = np.asarray((3.0 * k1)(X1))
         Kpow = np.asarray((k1 ** 2)(X1))
         K1 = np.asarray(k1(X1))
-        np.testing.assert_allclose(Ksum, K1 + 2.0, atol=1e-7)
-        np.testing.assert_allclose(Kprod, K1 * 2.0, atol=1e-7)
+        # ConstantKernel bias is squared in the covariance (reference convention)
+        np.testing.assert_allclose(Ksum, K1 + 4.0, atol=1e-7)
+        np.testing.assert_allclose(Kprod, K1 * 4.0, atol=1e-7)
         np.testing.assert_allclose(Kscale, 3.0 * K1, atol=1e-7)
         np.testing.assert_allclose(Kpow, K1 ** 2, atol=1e-7)
 
@@ -178,7 +180,7 @@ class TestGP:
         rng = np.random.default_rng(0)
         X = np.linspace(0, 4, 12)[:, None]
         y = np.sin(X[:, 0])
-        gp = GP(["x"], ["y"], noise_variance=1e-8)
+        gp = GP(["x"], ["y"], noise_variance=1e-4)
         gp.noise_variance.fixed = True
         gp.set_training_data(X, y)
         gp.setup()
@@ -196,8 +198,8 @@ class TestGP:
         lml0 = gp.log_marginal_likelihood
         gp.fit_model()
         assert gp.log_marginal_likelihood > lml0
-        # noise variance should land near the true 0.05^2
-        sn2 = float(np.squeeze(gp.noise_variance.value))
+        # noise value is a standard deviation; should land near the true 0.05
+        sn2 = float(np.squeeze(gp.noise_variance.value)) ** 2
         assert 2e-4 < sn2 < 2e-2
         mu, _ = gp.predict(X)
         assert np.sqrt(np.mean((mu - np.sin(X[:, 0])) ** 2)) < 0.05
@@ -215,7 +217,7 @@ class TestGP:
         import jax.numpy as jnp
 
         X = np.linspace(0, 1, 8)[:, None]
-        gp = GP(["x"], ["y"])
+        gp = GP(["x"], ["y"], noise_variance=1e-3)  # near-interpolating
         gp.set_training_data(X, X[:, 0] ** 2)
         gp.setup()
         fn = gp.predict_fn()
@@ -232,7 +234,7 @@ class TestGP:
         arr = GPArray(2)
         X = np.linspace(0, 1, 10)[:, None]
         for i in range(2):
-            gp = GP(["x"], [f"y{i}"])
+            gp = GP(["x"], [f"y{i}"], noise_variance=1e-3)
             gp.set_training_data(X, (i + 1) * X[:, 0])
             arr[i] = gp
         arr.setup()
@@ -329,7 +331,7 @@ class TestHybrid:
     def test_substitute_gp(self):
         X = np.linspace(0.1, 4, 20)[:, None]
         y = 0.5 * X[:, 0] / (1 + X[:, 0])
-        gp = GP(["S"], ["mu"], noise_variance=1e-6)
+        gp = GP(["S"], ["mu"], noise_variance=1e-3)
         gp.set_training_data(X, y)
         gp.setup()
         model = self._bio_model()
@@ -396,7 +398,7 @@ class TestGPArraySubstitution:
         arr = GPArray(2)
         for i, (label, fn) in enumerate([("r1", lambda s: 0.5 * s),
                                          ("r2", lambda s: 1.0 + 0.1 * s)]):
-            gp = GP(["a"], [label], noise_variance=1e-8)
+            gp = GP(["a"], [label], noise_variance=1e-4)
             gp.noise_variance.fixed = True
             gp.set_training_data(X, fn(X[:, 0]))
             arr[i] = gp
@@ -424,5 +426,5 @@ class TestGPAdamFit:
         lml0 = gp.log_marginal_likelihood
         gp.fit_model(solver="adam", max_iter=300, learning_rate=5e-2)
         assert gp.log_marginal_likelihood > lml0
-        sn2 = float(np.squeeze(gp.noise_variance.value))
-        assert sn2 < 0.1  # pulled toward the true 0.0025
+        sn2 = float(np.squeeze(gp.noise_variance.value)) ** 2
+        assert sn2 < 0.02  # pulled toward the true 0.0025

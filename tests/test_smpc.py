@@ -23,7 +23,7 @@ def make_gp(seed=0, noise=0.02):
     rng = np.random.default_rng(seed)
     X = np.linspace(-1.5, 1.5, 25)[:, None]
     y = 0.05 * np.sin(2 * X[:, 0]) + noise * rng.standard_normal(25)
-    gp = GP(["x1"], ["d"], noise_variance=noise ** 2)
+    gp = GP(["x1"], ["d"], noise_variance=noise)
     gp.set_training_data(X, y)
     gp.setup()
     return gp
