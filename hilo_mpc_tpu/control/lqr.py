@@ -20,7 +20,13 @@ from ..ops.riccati import dare_solve, lqr_backward
 
 
 def _check_psd(M, name):
-    M = np.atleast_2d(np.asarray(M, dtype=float))
+    M = np.asarray(M)
+    if np.iscomplexobj(M):
+        raise ValueError(f"{name} must be real-valued")
+    M = np.asarray(M, dtype=float)
+    if M.ndim <= 1:
+        # vectors set the diagonal, like the reference's Q/R setters
+        M = np.diag(np.atleast_1d(M))
     if not np.allclose(M, M.T, atol=1e-10):
         raise ValueError(f"{name} must be symmetric")
     eigs = np.linalg.eigvalsh(M)
@@ -68,7 +74,7 @@ class LinearQuadraticRegulator:
             raise ValueError(f"Q shape {Q.shape}, expected "
                              f"{(self._model.n_x, self._model.n_x)}")
         self._Q = Q
-        if self._setup_done:
+        if self._setup_done and self._R is not None:
             self._compute_gain()
 
     @property
@@ -84,7 +90,7 @@ class LinearQuadraticRegulator:
             raise ValueError(f"R shape {R.shape}, expected "
                              f"{(self._model.n_u, self._model.n_u)}")
         self._R = R
-        if self._setup_done:
+        if self._setup_done and self._Q is not None:
             self._compute_gain()
 
     @property
@@ -94,16 +100,22 @@ class LinearQuadraticRegulator:
 
     feedback_gain = K
 
-    def _discrete_AB(self):
+    def _discrete_AB(self, p=None):
         m = self._model
+        if p is not None:
+            p = np.broadcast_to(np.atleast_1d(np.asarray(p, dtype=float)),
+                                (m.n_p,))
         if m.discrete:
-            if m.A is not None:
+            if m.A is not None and p is None:
                 return m.A, m.B
-            # linear but declared via equations: extract via jacobians
-            A, B = m.jacobians(np.zeros(m.n_x), np.zeros(m.n_u))
+            # linear but declared via equations (possibly parameter-dependent):
+            # extract via jacobians at the supplied parameter values
+            A, B = m.jacobians(np.zeros(m.n_x), np.zeros(m.n_u), p=p)
             return np.asarray(A), np.asarray(B)
         # continuous linear model: zero-order-hold discretization via matrix exp
-        A, B = m.jacobians(np.zeros(m.n_x), np.zeros(m.n_u))
+        # (the reference instead requires a discrete model, lqr.py; ZOH is a
+        # strict superset of that behavior)
+        A, B = m.jacobians(np.zeros(m.n_x), np.zeros(m.n_u), p=p)
         import scipy.linalg
 
         nx, nu = m.n_x, m.n_u
@@ -113,8 +125,8 @@ class LinearQuadraticRegulator:
         E = scipy.linalg.expm(M * self._dt)
         return E[:nx, :nx], E[:nx, nx:]
 
-    def _compute_gain(self):
-        A, B = self._discrete_AB()
+    def _compute_gain(self, p=None):
+        A, B = self._discrete_AB(p=p)
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         A_ = jnp.asarray(A, dtype)
         B_ = jnp.asarray(B, dtype)
@@ -124,28 +136,44 @@ class LinearQuadraticRegulator:
             K, P = dare_solve(A_, B_, Q_, R_)
             self._K = np.asarray(K)
         else:
-            Ks, P0 = lqr_backward(A_, B_, Q_, R_, horizon=self._horizon)
-            # receding-horizon first gain; backward_sweep returns u = +K x convention
-            self._K = -np.asarray(Ks[0])
+            _, P0 = lqr_backward(A_, B_, Q_, R_, horizon=self._horizon)
+            # gain from the fully-iterated Riccati matrix P_N, exactly like the
+            # reference (lqr.py:204-260 unrolls N updates then solves for K)
+            K = jnp.linalg.solve(R_ + B_.T @ P0 @ B_, B_.T @ P0 @ A_)
+            self._K = np.asarray(K)
         self._P = np.asarray(P0 if self._horizon is not None else P)
 
     def setup(self, dt: Optional[float] = None, **kwargs):
         if dt is not None:
             self._dt = float(dt)
-        if self._Q is None:
-            self._Q = np.eye(self._model.n_x)
-        if self._R is None:
-            self._R = np.eye(self._model.n_u)
-        self._compute_gain()
+        if self._Q is not None and self._R is not None:
+            self._compute_gain()
         self._setup_done = True
         return self
 
     def is_setup(self):
         return self._setup_done
 
-    def call(self, x, **kwargs):
+    def call(self, x=None, p=None, **kwargs):
         if not self._setup_done:
-            raise RuntimeError("call setup() first")
+            raise RuntimeError(
+                "LQR is not set up. Run LQR.setup(...) before calling the LQR.")
+        if self._Q is None:
+            raise RuntimeError(
+                "Matrix Q is not set properly. To ensure that a unique solution "
+                "exists, the matrix Q needs to be symmetric, real-valued and "
+                "positive semidefinite.")
+        if self._R is None:
+            raise RuntimeError(
+                "Matrix R is not set properly. To ensure that a unique solution "
+                "exists, the matrix R needs to be symmetric, real-valued and "
+                "positive definite.")
+        if x is None:
+            raise ValueError("No state information was supplied to the LQR!")
+        if p is not None or self._K is None:
+            # parameter-dependent dynamics: the gain is recomputed at the
+            # supplied parameter values (reference: tests/test_LQR.py:330)
+            self._compute_gain(p=p)
         x = np.asarray(x, dtype=float).ravel()
         return -(self._K @ x)
 

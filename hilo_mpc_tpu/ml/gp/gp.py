@@ -42,12 +42,26 @@ class GaussianProcess:
         self.kernel = kernel if kernel is not None else SquaredExponentialKernel(
             length_scales=np.ones(len(self.features)))
         self.mean = mean if mean is not None else ZeroMean()
-        if inference not in ("exact", "ExactInference"):
+        # recognized-but-unimplemented names raise NotImplementedError,
+        # unknown names ValueError — same contract as the reference's factories
+        # (gp/inference.py:44-257, gp/likelihood.py:24-102)
+        inf_key = inference.lower().replace(" ", "_").replace("-", "_")
+        if inf_key in ("laplace", "expectation_propagation", "ep",
+                       "variational_bayes", "vb", "kullback_leibler", "kl"):
             raise NotImplementedError(
-                "only exact inference is implemented (matches the reference's "
-                "supported set)")
-        if likelihood.lower() not in ("gaussian", "normal"):
-            raise NotImplementedError("only Gaussian likelihood is implemented")
+                f"inference {inference!r} is declared but not implemented "
+                f"(the reference declares the same stubs); use 'exact'")
+        if inf_key not in ("exact", "exactinference"):
+            raise ValueError(f"Inference {inference!r} not recognized")
+        lik_key = likelihood.lower().replace(" ", "_").replace("-", "_").replace(
+            "'", "")
+        if lik_key in ("logistic", "laplacian", "students_t", "studentst",
+                       "student_t"):
+            raise NotImplementedError(
+                f"likelihood {likelihood!r} is declared but not implemented "
+                f"(the reference declares the same stubs); use 'gaussian'")
+        if lik_key not in ("gaussian", "normal"):
+            raise ValueError(f"Likelihood {likelihood!r} not recognized")
         self.noise_variance = Hyperparameter("GP.noise_variance",
                                              value=noise_variance, positive=True)
         self.solver = solver
@@ -59,6 +73,12 @@ class GaussianProcess:
 
     # -- data ----------------------------------------------------------------
     def set_training_data(self, X, y):
+        if self._setup_done:
+            import warnings
+            warnings.warn(
+                "Gaussian process was already executed. Use the fit_model() "
+                "method again to optimize with respect to the newly set "
+                "training data.")
         X = np.asarray(X, dtype=float)
         y = np.asarray(y, dtype=float)
         d = len(self.features)

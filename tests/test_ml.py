@@ -428,3 +428,36 @@ class TestGPAdamFit:
         assert gp.log_marginal_likelihood > lml0
         sn2 = float(np.squeeze(gp.noise_variance.value)) ** 2
         assert sn2 < 0.02  # pulled toward the true 0.0025
+
+
+class TestGPFactoryContracts:
+    """Constructor string contracts mirrored from the reference
+    (tests/test_GPs.py:68-194): declared-but-unimplemented names raise
+    NotImplementedError, unknown names raise ValueError."""
+
+    @pytest.mark.parametrize("lik", ["Logistic", "Laplacian", "Students t"])
+    def test_declared_likelihoods_raise_not_implemented(self, lik):
+        with pytest.raises(NotImplementedError):
+            GP(["x"], ["z"], likelihood=lik)
+
+    def test_unknown_likelihood_raises_value_error(self):
+        with pytest.raises(ValueError, match="not recognized"):
+            GP(["x"], ["z"], likelihood="Gumbel")
+
+    @pytest.mark.parametrize("inf", ["Laplace", "Expectation propagation",
+                                     "Variational Bayes", "Kullback Leibler"])
+    def test_declared_inference_raise_not_implemented(self, inf):
+        with pytest.raises(NotImplementedError):
+            GP(["x"], ["z"], inference=inf)
+
+    def test_unknown_inference_raises_value_error(self):
+        with pytest.raises(ValueError, match="not recognized"):
+            GP(["x"], ["z"], inference="Monte Carlo")
+
+    def test_set_training_data_after_setup_warns(self):
+        X = np.linspace(0, 1, 8)[:, None]
+        gp = GP(["x"], ["y"])
+        gp.set_training_data(X, X[:, 0])
+        gp.setup()
+        with pytest.warns(UserWarning, match="fit_model"):
+            gp.set_training_data(X, X[:, 0] * 2)
