@@ -36,7 +36,8 @@ _NLP_OPTION_KEYS = {
     "integration_method", "degree", "collocation_scheme", "substeps",
     "newton_iters", "max_iter", "tol", "mu_init", "warm_start", "print_level",
     "dt", "convexify", "n_linesearch", "early_exit", "u_pf_lb", "u_pf_ub",
-    "ipopt_debugger", "parallel_riccati", "mehrotra", "mi_neighbors",
+    "ipopt_debugger", "parallel_riccati", "mehrotra", "riccati_unroll",
+    "mi_neighbors",
     "mi_max_enum",
 }
 
@@ -624,6 +625,9 @@ class NMPC:
             # ~30% fewer IP iterations at identical solutions (ignored by the
             # solver when equality constraints are present)
             mehrotra=options.get("mehrotra", True),
+            # unrolling the Riccati scans lets XLA fuse across stages — the
+            # sweeps dominate iteration time at small nx/nu (tools/profile_ip.py)
+            riccati_unroll=options.get("riccati_unroll", 1),
         )
         self._ip_opts = ip_opts
         self._warm_start = options.get("warm_start", True)

@@ -100,6 +100,10 @@ class IPOptions:
     record_iterates: bool = False  # keep per-iteration (X, U, kkt, mu, obj) history
     parallel_riccati: bool = False  # O(log N)-depth associative-scan KKT solve
     mehrotra: bool = False       # predictor-corrector with adaptive centering
+    # lax.scan unroll factor for the Riccati sweeps: unrolling lets XLA fuse
+    # across stages and trims per-step loop overhead (measured on v5e: the
+    # sweeps dominate iteration time at small nx/nu; see tools/profile_ip.py)
+    riccati_unroll: int = 1
 
 
 class OCPSolution(NamedTuple):
@@ -505,7 +509,10 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         Sb = Hux + jnp.einsum("kmi,km,kmj->kij", Cu, sigma, Cx)
         P_term = HN + jnp.einsum("mi,m,mj->ij", CxN, sigmaN, CxN)
         r_dyn = F - X[1:]
-        lq_solver = solve_lq_parallel if opt.parallel_riccati else solve_lq
+        if opt.parallel_riccati:
+            lq_solver = solve_lq_parallel
+        else:
+            lq_solver = partial(solve_lq, unroll=opt.riccati_unroll)
 
         def newton_step(mu_t, corr, corrN):
             """One barrier-Newton solve targeting complementarity mu_t with an
@@ -521,7 +528,8 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
             else:
                 # free initial state: dx0 minimizes the stage-0 value function
                 _, _, P0, p0, _, _, _ = backward_sweep(
-                    A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term, opt.reg)
+                    A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term, opt.reg,
+                    unroll=opt.riccati_unroll)
                 dx0 = -jnp.linalg.solve(
                     P0 + opt.reg * jnp.eye(nx, dtype=dtype), p0)
             sol = lq_solver(A, B, Qb, Sb, Rb, qb, rb, r_dyn, P_term, p_term,

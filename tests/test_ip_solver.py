@@ -288,3 +288,53 @@ class TestPerScenarioBounds:
         # tighter limits -> first move saturates at its own bound
         assert abs(U[0, 0, 0]) == pytest.approx(0.2, abs=1e-6)
         assert abs(U[1, 0, 0]) == pytest.approx(0.4, abs=1e-6)
+
+
+class TestSmallSolveAndUnroll:
+    def test_solve_psd_small_matches_numpy(self):
+        from hilo_mpc_tpu.ops.riccati import solve_psd_small
+        rng = np.random.default_rng(3)
+        for n in (1, 2, 3, 4):
+            M = rng.standard_normal((5, n, n))
+            G = M @ np.swapaxes(M, 1, 2) + n * np.eye(n)
+            rhs = rng.standard_normal((5, n, n + 2))
+            got = np.asarray(solve_psd_small(jnp.asarray(G), jnp.asarray(rhs)))
+            want = np.linalg.solve(G, rhs)
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_riccati_unroll_matches_sequential(self):
+        rng = np.random.default_rng(7)
+        nx, nu, n = 3, 2, 12
+        As = jnp.asarray(np.eye(nx) + 0.05 * rng.standard_normal((n, nx, nx)))
+        Bs = jnp.asarray(0.3 * rng.standard_normal((n, nx, nu)))
+        Qs = jnp.tile(jnp.eye(nx), (n, 1, 1))
+        Ss = jnp.zeros((n, nu, nx))
+        Rs = jnp.tile(0.1 * jnp.eye(nu), (n, 1, 1))
+        q = jnp.asarray(rng.standard_normal((n, nx)))
+        r = jnp.asarray(rng.standard_normal((n, nu)))
+        c = jnp.asarray(0.1 * rng.standard_normal((n, nx)))
+        Pt = jnp.eye(nx)
+        pt = jnp.zeros(nx)
+        dx0 = jnp.asarray(rng.standard_normal(nx))
+        s1 = solve_lq(As, Bs, Qs, Ss, Rs, q, r, c, Pt, pt, dx0)
+        s2 = solve_lq(As, Bs, Qs, Ss, Rs, q, r, c, Pt, pt, dx0, unroll=n)
+        np.testing.assert_allclose(np.asarray(s1.dU), np.asarray(s2.dU),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_solve_ocp_unroll_matches(self):
+        bounds_args = dict(
+            lbx=jnp.full((N + 1, NX), -np.inf), ubx=jnp.full((N + 1, NX), np.inf),
+            lbu=jnp.full((N, NU), -0.8), ubu=jnp.full((N, NU), 0.8))
+        b = OCPBounds(**bounds_args)
+        funcs = _funcs()
+        dims = OCPDims(nx=NX, nu=NU, N=N)
+        theta = jnp.zeros((N + 1, 2))
+        Xi = jnp.tile(jnp.asarray(X0)[None], (N + 1, 1))
+        Ui = jnp.zeros((N, NU))
+        s1 = solve_ocp(funcs, dims, b, theta, jnp.asarray(X0), Xi, Ui,
+                       IPOptions(max_iter=40, tol=1e-7))
+        s2 = solve_ocp(funcs, dims, b, theta, jnp.asarray(X0), Xi, Ui,
+                       IPOptions(max_iter=40, tol=1e-7, riccati_unroll=N))
+        assert bool(s1.converged) and bool(s2.converged)
+        np.testing.assert_allclose(np.asarray(s1.U), np.asarray(s2.U),
+                                   rtol=1e-4, atol=1e-5)
