@@ -19,10 +19,10 @@ def main():
     import __graft_entry__ as ge
 
     dev = jax.devices()[0]
-    # measured on v5e (mu_init=1e-2 + pure Newton config): B=4096 -> 94k,
-    # 8192 -> 120k, 16384 -> 152k, 32768 -> 160k, 65536 -> 164k solves/s;
-    # default to the knee of the curve
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    # measured on v5e (unrolled fusable Riccati sweeps, pure Newton config):
+    # B=32768 -> 758k, 65536 -> 1.00M, 131072 -> 1.20M, 262144 -> 1.27M
+    # solves/s; default to the knee of the curve
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     _run(ge, jax, dev, B, reps)
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.model import Model
+from ..ops.smallalg import solve_psd_small
 from ..ops.riccati import dare_solve, lqr_backward
 
 
@@ -139,7 +140,7 @@ class LinearQuadraticRegulator:
             _, P0 = lqr_backward(A_, B_, Q_, R_, horizon=self._horizon)
             # gain from the fully-iterated Riccati matrix P_N, exactly like the
             # reference (lqr.py:204-260 unrolls N updates then solves for K)
-            K = jnp.linalg.solve(R_ + B_.T @ P0 @ B_, B_.T @ P0 @ A_)
+            K = solve_psd_small(R_ + B_.T @ P0 @ B_, B_.T @ P0 @ A_)
             self._K = np.asarray(K)
         self._P = np.asarray(P0 if self._horizon is not None else P)
 

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..ops.smallalg import solve_small
+
 # ---------------------------------------------------------------------------
 # Explicit Runge-Kutta Butcher tableaus (same method menu as the reference's
 # EXPLICIT_METHODS registry, hilo_mpc/util/modeling.py:1008 — tableaus are textbook).
@@ -104,14 +106,14 @@ def newton_solve(res_fn: Callable, w0: jnp.ndarray, iters: int = 8) -> jnp.ndarr
         def body(_, w):
             r = f(w)
             J = jac(w)
-            return w - jnp.linalg.solve(J, r)
+            return w - solve_small(J, r)
 
         return lax.fori_loop(0, iters, body, w)
 
     def tangent_solve(g, y):
         # g is linear; its (constant) Jacobian evaluated anywhere.
         J = jax.jacfwd(g)(jnp.zeros_like(y))
-        return jnp.linalg.solve(J, y)
+        return solve_small(J, y)
 
     return lax.custom_root(res_fn, w0, solve, tangent_solve)
 

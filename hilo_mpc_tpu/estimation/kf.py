@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.integrators import IntegratorSpec, make_step
+from ..ops.smallalg import chol_small, solve_psd_small
 from .base import Estimator
 
 
@@ -156,7 +157,7 @@ class KalmanFilter(_KalmanFilterBase):
             C = jax.jacfwd(H, argnums=0)(x_pr, u, p, t)
             y_pr = H(x_pr, u, p, t)
             S = C @ P_pr @ C.T + R
-            K = jnp.linalg.solve(S.T, (P_pr @ C.T).T).T
+            K = solve_psd_small(S, (P_pr @ C.T).T).T
             x_new = x_pr + K @ (y - y_pr)
             I_KC = jnp.eye(nx, dtype=x_pr.dtype) - K @ C
             P_new = I_KC @ P_pr @ I_KC.T + K @ R @ K.T   # Joseph form
@@ -232,7 +233,7 @@ class UnscentedKalmanFilter(_KalmanFilterBase):
         def predict(x, P, u, p, t):
             Q = jnp.asarray(self._Q, x.dtype)
             lam, wm, wc = self._weights(nx, x.dtype)
-            L = jnp.linalg.cholesky((nx + lam) * (P + 1e-12 * jnp.eye(nx, dtype=x.dtype)))
+            L = chol_small((nx + lam) * (P + 1e-12 * jnp.eye(nx, dtype=x.dtype)))
             sig = jnp.concatenate(
                 [x[None, :], x[None, :] + L.T, x[None, :] - L.T], axis=0)
             sig_pr = jax.vmap(lambda s: F(s, u, p, t))(sig)
@@ -245,7 +246,7 @@ class UnscentedKalmanFilter(_KalmanFilterBase):
             R = jnp.asarray(self._R, x_pr.dtype)
             lam, wm, wc = self._weights(nx, x_pr.dtype)
             # re-draw sigma points about the predicted mean for the update
-            L2 = jnp.linalg.cholesky(
+            L2 = chol_small(
                 (nx + lam) * (P_pr + 1e-12 * jnp.eye(nx, dtype=x_pr.dtype)))
             sig2 = jnp.concatenate(
                 [x_pr[None, :], x_pr[None, :] + L2.T, x_pr[None, :] - L2.T],
@@ -256,7 +257,7 @@ class UnscentedKalmanFilter(_KalmanFilterBase):
             dX2 = sig2 - x_pr
             P_yy = jnp.einsum("i,in,im->nm", wc, dY, dY) + R
             P_xy = jnp.einsum("i,in,im->nm", wc, dX2, dY)
-            K = jnp.linalg.solve(P_yy.T, P_xy.T).T
+            K = solve_psd_small(P_yy, P_xy.T).T
             x_new = x_pr + K @ (y - y_pr)
             P_new = P_pr - K @ P_yy @ K.T
             return x_new, 0.5 * (P_new + P_new.T), y_pr

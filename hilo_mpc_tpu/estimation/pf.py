@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.smallalg import solve_small
+
 from ..core.integrators import IntegratorSpec, make_step
 from .base import Estimator
 
@@ -81,8 +83,7 @@ class ParticleFilter(Estimator):
             ysig = jax.vmap(lambda s: jnp.atleast_1d(
                 meas(s, jnp.zeros(nz, s.dtype), u, p, t + h)))(parts_pr)
             innov = y[None, :] - ysig
-            Rinv = jnp.linalg.inv(R)
-            logw = -0.5 * jnp.einsum("mi,ij,mj->m", innov, Rinv, innov)
+            logw = -0.5 * jnp.sum(innov.T * solve_small(R, innov.T), axis=0)
             logw = logw - jnp.max(logw)
             w = jnp.exp(logw)
             w = w / jnp.sum(w)

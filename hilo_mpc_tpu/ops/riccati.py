@@ -23,51 +23,45 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .smallalg import solve_psd_small
 
-def solve_psd_small(G, rhs):
-    """Solve G @ X = rhs for symmetric PD G, fast on TPU for tiny n.
 
-    XLA's generic Cholesky/triangular-solve lowers to a blocked while-loop that
-    costs ~1 ms per call on (B, n, n) batches even at n=1 (measured on v5e,
-    tools/microbench_linalg.py: 1.8 ms/step vs 0.15 ms closed-form inside a
-    40-step scan at B=4096). For the control-space Schur complement in the
-    Riccati sweep n = nu is almost always 1-3, so closed-form cofactor solves
-    are both exact and ~10x faster; n >= 4 falls back to Cholesky. G is assumed
-    regularized PD (det > 0).
+_SMALL_DIM = 8
 
-    Shapes: G (..., n, n), rhs (..., n, k) -> (..., n, k).
+
+def _mm(X, Y):
+    """Matmul that lowers to fusable elementwise ops for tiny matrices.
+
+    Inside the sequential Riccati chain every op is latency-bound, not
+    FLOP-bound: XLA fuses elementwise+reduce chains into single kernels but
+    never fuses `dot_general`s with each other, so for nx/nu-sized blocks a
+    broadcast-multiply-sum beats the MXU path (measured on v5e — the sweep is
+    the dominant cost of each IP iteration, tools/profile_ip.py).
     """
-    n = G.shape[-1]
-    if n == 1:
-        return rhs / G[..., :1, :]
-    if n == 2:
-        a, b = G[..., 0, 0], G[..., 0, 1]
-        c, d = G[..., 1, 0], G[..., 1, 1]
-        det = a * d - b * c
-        x0 = (d[..., None] * rhs[..., 0, :] - b[..., None] * rhs[..., 1, :])
-        x1 = (-c[..., None] * rhs[..., 0, :] + a[..., None] * rhs[..., 1, :])
-        return jnp.stack([x0, x1], axis=-2) / det[..., None, None]
-    if n == 3:
-        a, b, c = G[..., 0, 0], G[..., 0, 1], G[..., 0, 2]
-        d, e, f = G[..., 1, 0], G[..., 1, 1], G[..., 1, 2]
-        g, h, i = G[..., 2, 0], G[..., 2, 1], G[..., 2, 2]
-        A00 = e * i - f * h
-        A01 = c * h - b * i
-        A02 = b * f - c * e
-        A10 = f * g - d * i
-        A11 = a * i - c * g
-        A12 = c * d - a * f
-        A20 = d * h - e * g
-        A21 = b * g - a * h
-        A22 = a * e - b * d
-        det = a * A00 + b * A10 + c * A20
-        adj = jnp.stack([
-            jnp.stack([A00, A01, A02], axis=-1),
-            jnp.stack([A10, A11, A12], axis=-1),
-            jnp.stack([A20, A21, A22], axis=-1)], axis=-2)
-        return jnp.einsum("...ij,...jk->...ik", adj, rhs) / det[..., None, None]
-    L = jnp.linalg.cholesky(G)
-    return jax.scipy.linalg.cho_solve((L, True), rhs)
+    if X.shape[-1] <= _SMALL_DIM and X.shape[-2] <= _SMALL_DIM \
+            and Y.shape[-1] <= _SMALL_DIM:
+        return (X[..., :, :, None] * Y[..., None, :, :]).sum(axis=-2)
+    return X @ Y
+
+
+def _mv(X, y):
+    if X.shape[-1] <= _SMALL_DIM and X.shape[-2] <= _SMALL_DIM:
+        return (X * y[..., None, :]).sum(axis=-1)
+    return X @ y
+
+
+def _tmm(X, Y):
+    """X.T @ Y for tiny matrices (fusable)."""
+    if X.shape[-1] <= _SMALL_DIM and X.shape[-2] <= _SMALL_DIM \
+            and Y.shape[-1] <= _SMALL_DIM:
+        return (X[..., :, :, None] * Y[..., :, None, :]).sum(axis=-3)
+    return jnp.swapaxes(X, -1, -2) @ Y
+
+
+def _tmv(X, y):
+    if X.shape[-1] <= _SMALL_DIM and X.shape[-2] <= _SMALL_DIM:
+        return (X * y[..., :, None]).sum(axis=-2)
+    return jnp.swapaxes(X, -1, -2) @ y
 
 
 class LQSolution(NamedTuple):
@@ -91,18 +85,18 @@ def backward_sweep(A, B, Q, S, R, q, r, c, P_term, p_term, reg: float = 1e-9,
     def step(carry, blocks):
         P_next, p_next = carry
         A_k, B_k, Q_k, S_k, R_k, q_k, r_k, c_k = blocks
-        Pc_p = P_next @ c_k + p_next                      # (nx,)
-        PA = P_next @ A_k                                  # (nx, nx)
-        PB = P_next @ B_k                                  # (nx, nu)
-        G = R_k + B_k.T @ PB                               # (nu, nu)
+        Pc_p = _mv(P_next, c_k) + p_next                   # (nx,)
+        PA = _mm(P_next, A_k)                              # (nx, nx)
+        PB = _mm(P_next, B_k)                              # (nx, nu)
+        G = R_k + _tmm(B_k, PB)                            # (nu, nu)
         G = 0.5 * (G + G.T) + reg * jnp.eye(G.shape[0], dtype=G.dtype)
-        H_ux = S_k + B_k.T @ PA                            # (nu, nx)
-        g_u = r_k + B_k.T @ Pc_p                           # (nu,)
+        H_ux = S_k + _tmm(B_k, PA)                         # (nu, nx)
+        g_u = r_k + _tmv(B_k, Pc_p)                        # (nu,)
         sol = -solve_psd_small(G, jnp.concatenate([H_ux, g_u[:, None]], axis=1))
         K_k, kff_k = sol[:, :-1], sol[:, -1]
-        P_k = Q_k + A_k.T @ PA + H_ux.T @ K_k
+        P_k = Q_k + _tmm(A_k, PA) + _tmm(H_ux, K_k)
         P_k = 0.5 * (P_k + P_k.T)
-        p_k = q_k + A_k.T @ Pc_p + H_ux.T @ kff_k
+        p_k = q_k + _tmv(A_k, Pc_p) + _tmv(H_ux, kff_k)
         # predicted decrease contribution: -½ kffᵀ G kff - kffᵀ g_u = ½ kffᵀ G kff
         dec = -0.5 * jnp.dot(kff_k, g_u)
         return (P_k, p_k), (K_k, kff_k, P_next, p_next, dec)
@@ -118,9 +112,9 @@ def forward_sweep(A, B, c, K, kff, dx0, Ps_next, ps_next, unroll: int = 1):
 
     def step(dx, blocks):
         A_k, B_k, c_k, K_k, kff_k, P_n, p_n = blocks
-        du = K_k @ dx + kff_k
-        dx_next = A_k @ dx + B_k @ du + c_k
-        lam_next = P_n @ dx_next + p_n
+        du = _mv(K_k, dx) + kff_k
+        dx_next = _mv(A_k, dx) + _mv(B_k, du) + c_k
+        lam_next = _mv(P_n, dx_next) + p_n
         return dx_next, (dx_next, du, lam_next)
 
     _, (dX_tail, dU, lam) = lax.scan(
@@ -294,10 +288,10 @@ def dare_solve(A, B, Q, R, iters: int = 200):
     def body(_, P):
         PB = P @ B
         G = R + B.T @ PB
-        K = jnp.linalg.solve(G, (B.T @ P @ A))
+        K = solve_psd_small(G, (B.T @ P @ A))
         P_new = Q + A.T @ P @ (A - B @ K)
         return 0.5 * (P_new + P_new.T)
 
     P = lax.fori_loop(0, iters, body, Q)
-    K = jnp.linalg.solve(R + B.T @ P @ B, B.T @ P @ A)
+    K = solve_psd_small(R + B.T @ P @ B, B.T @ P @ A)
     return K, P

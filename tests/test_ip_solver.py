@@ -338,3 +338,23 @@ class TestSmallSolveAndUnroll:
         assert bool(s1.converged) and bool(s2.converged)
         np.testing.assert_allclose(np.asarray(s1.U), np.asarray(s2.U),
                                    rtol=1e-4, atol=1e-5)
+
+    def test_chol_small_matches_numpy(self):
+        from hilo_mpc_tpu.ops.smallalg import chol_small
+        rng = np.random.default_rng(11)
+        for n in (1, 2, 3, 5, 6, 9):
+            M = rng.standard_normal((4, n, n))
+            G = M @ np.swapaxes(M, 1, 2) + n * np.eye(n)
+            L = np.asarray(chol_small(jnp.asarray(G)))
+            want = np.linalg.cholesky(G)
+            np.testing.assert_allclose(L, want, rtol=2e-5, atol=2e-5)
+
+    def test_solve_small_general_and_vector_rhs(self):
+        from hilo_mpc_tpu.ops.smallalg import solve_small
+        rng = np.random.default_rng(13)
+        for n in (1, 2, 3, 4):
+            G = rng.standard_normal((6, n, n)) + 2 * np.eye(n)  # not symmetric
+            y = rng.standard_normal((6, n))
+            got = np.asarray(solve_small(jnp.asarray(G), jnp.asarray(y)))
+            want = np.linalg.solve(G, y[..., None])[..., 0]
+            np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)

@@ -83,11 +83,12 @@ if __name__ == "__main__":
 def extra():
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     for name, opts in [
-        ("it2", {"max_iter": 2}),
-        ("it10", {"max_iter": 10}),
-        ("it10_unroll4", {"max_iter": 10, "riccati_unroll": 4}),
-        ("it10_unroll21", {"max_iter": 10, "riccati_unroll": 21}),
-        ("it2_unroll21", {"max_iter": 2, "riccati_unroll": 21}),
+        ("it2_u", {"max_iter": 2, "riccati_unroll": 21}),
+        ("it10_u", {"max_iter": 10, "riccati_unroll": 21}),
+        ("it10_u_mehrotra", {"max_iter": 10, "riccati_unroll": 21,
+                             "mehrotra": True}),
+        ("it10_u_ls6", {"max_iter": 10, "riccati_unroll": 21,
+                        "n_linesearch": 6}),
     ]:
         t, conv = timed_solve(opts, B=B)
         print(f"{name:18s} t={t*1e3:8.2f} ms  conv={conv:.3f}", flush=True)
