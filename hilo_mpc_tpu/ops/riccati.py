@@ -23,45 +23,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .smallalg import solve_psd_small
-
-
-_SMALL_DIM = 8
-
-
-def _mm(X, Y):
-    """Matmul that lowers to fusable elementwise ops for tiny matrices.
-
-    Inside the sequential Riccati chain every op is latency-bound, not
-    FLOP-bound: XLA fuses elementwise+reduce chains into single kernels but
-    never fuses `dot_general`s with each other, so for nx/nu-sized blocks a
-    broadcast-multiply-sum beats the MXU path (measured on v5e — the sweep is
-    the dominant cost of each IP iteration, tools/profile_ip.py).
-    """
-    if X.shape[-1] <= _SMALL_DIM and X.shape[-2] <= _SMALL_DIM \
-            and Y.shape[-1] <= _SMALL_DIM:
-        return (X[..., :, :, None] * Y[..., None, :, :]).sum(axis=-2)
-    return X @ Y
-
-
-def _mv(X, y):
-    if X.shape[-1] <= _SMALL_DIM and X.shape[-2] <= _SMALL_DIM:
-        return (X * y[..., None, :]).sum(axis=-1)
-    return X @ y
-
-
-def _tmm(X, Y):
-    """X.T @ Y for tiny matrices (fusable)."""
-    if X.shape[-1] <= _SMALL_DIM and X.shape[-2] <= _SMALL_DIM \
-            and Y.shape[-1] <= _SMALL_DIM:
-        return (X[..., :, :, None] * Y[..., :, None, :]).sum(axis=-3)
-    return jnp.swapaxes(X, -1, -2) @ Y
-
-
-def _tmv(X, y):
-    if X.shape[-1] <= _SMALL_DIM and X.shape[-2] <= _SMALL_DIM:
-        return (X * y[..., :, None]).sum(axis=-2)
-    return jnp.swapaxes(X, -1, -2) @ y
+from .smallalg import (mm_small as _mm, mv_small as _mv, solve_psd_small,
+                       tmm_small as _tmm, tmv_small as _tmv)
 
 
 class LQSolution(NamedTuple):
