@@ -37,6 +37,7 @@ _NLP_OPTION_KEYS = {
     "newton_iters", "max_iter", "tol", "mu_init", "warm_start", "print_level",
     "dt", "convexify", "n_linesearch", "early_exit", "u_pf_lb", "u_pf_ub",
     "ipopt_debugger", "parallel_riccati", "mehrotra", "riccati_unroll",
+    "const_cost_hessian",
     "mi_neighbors",
     "mi_max_enum",
 }
@@ -510,6 +511,18 @@ class NMPC:
                 rows.append(g[sel] - jnp.asarray(con.ub[r], x.dtype))
             return jnp.concatenate(rows)
 
+        # the cost Hessian is point-independent iff every term is a true
+        # quadratic in the decision variables: no generic costs, no soft
+        # penalties (piecewise), no nonlinear measurement maps, no
+        # path-parameterized references (nonlinear in theta_path), and no
+        # minimum-time stage scaling (cost * dt_k is cubic)
+        quad_cost_only = (
+            gen_stage.is_empty and gen_term.is_empty
+            and not np.asarray(self._x_soft, dtype=bool).any()
+            and not soft_cons_s and not soft_cons_t and not mt
+            and all(t.kind != "measurements" and not t.path_following
+                    for t in stage_terms + term_terms))
+
         dims = OCPDims(nx=nxs, nu=nus, N=N, n_h=n_h, n_hN=n_hN,
                        n_e=n_e, n_eN=n_eN)
         funcs = OCPFunctions(
@@ -628,6 +641,8 @@ class NMPC:
             # unrolling the Riccati scans lets XLA fuse across stages — the
             # sweeps dominate iteration time at small nx/nu (tools/profile_ip.py)
             riccati_unroll=options.get("riccati_unroll", 1),
+            const_cost_hessian=options.get("const_cost_hessian",
+                                           quad_cost_only),
         )
         self._ip_opts = ip_opts
         self._warm_start = options.get("warm_start", True)

@@ -104,6 +104,12 @@ class IPOptions:
     # across stages and trims per-step loop overhead (measured on v5e: the
     # sweeps dominate iteration time at small nx/nu; see tools/profile_ip.py)
     riccati_unroll: int = 1
+    # treat the cost Hessian blocks as constant (exact for quadratic costs):
+    # they are evaluated once at the initial point instead of every iteration,
+    # removing the per-iteration jax.hessian (and eigh when convexify is on).
+    # Ignored when equality constraints are present (the AL terms change the
+    # Hessian with rho). NMPC auto-enables this for pure quadratic costs.
+    const_cost_hessian: bool = False
 
 
 class OCPSolution(NamedTuple):
@@ -257,14 +263,36 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         J = jax.vmap(jvp)(dX, dU)          # (nx+nu, n_out)
         return val, J[:nx].T, J[nx:].T     # val, d/dx, d/du
 
-    # Jacobians of the stage inequality rows w.r.t. (x, u)
-    def stage_c_jac(x, u, th, lbx, ubx, lbu, ubu, msk):
-        _, Cx, Cu = _value_and_jacobians(
-            lambda xx, uu: c_fn(xx, uu, th, lbx, ubx, lbu, ubu, msk), x, u)
-        return Cx, Cu
+    # Jacobians of the stage inequality rows w.r.t. (x, u). The box rows
+    # [u-ubu; lbu-u; x-ubx; lbx-x] have constant ±selector jacobians — only the
+    # custom h rows need AD; masked-out rows have zero jacobian (c is pinned).
+    Jx_box = jnp.concatenate([jnp.zeros((2 * nu, nx), dtype),
+                              jnp.eye(nx, dtype=dtype),
+                              -jnp.eye(nx, dtype=dtype)], axis=0)
+    Ju_box = jnp.concatenate([jnp.eye(nu, dtype=dtype),
+                              -jnp.eye(nu, dtype=dtype),
+                              jnp.zeros((2 * nx, nu), dtype)], axis=0)
+    JxN_box = jnp.concatenate([jnp.eye(nx, dtype=dtype),
+                               -jnp.eye(nx, dtype=dtype)], axis=0)
+
+    def stage_c_jac(x, u, th, msk):
+        if funcs.stage_ineq is not None and dims.n_h:
+            _, Hx, Hu = _value_and_jacobians(
+                lambda xx, uu: funcs.stage_ineq(xx, uu, th), x, u)
+            Cx = jnp.concatenate([Jx_box, Hx], axis=0)
+            Cu = jnp.concatenate([Ju_box, Hu], axis=0)
+        else:
+            Cx, Cu = Jx_box, Ju_box
+        mf = msk.astype(x.dtype)[:, None]
+        return Cx * mf, Cu * mf
 
     def term_c_jac(x):
-        return jax.jacfwd(cN_fn, argnums=0)(x, theta[-1], lbxN_c, ubxN_c, maskN)
+        if funcs.term_ineq is not None and dims.n_hN:
+            Hx = jax.jacfwd(lambda xx: funcs.term_ineq(xx, theta[-1]))(x)
+            CxN = jnp.concatenate([JxN_box, Hx], axis=0)
+        else:
+            CxN = JxN_box
+        return CxN * maskN_f[:, None]
 
     # dynamics linearization (value + both jacobians from one primal pass)
     def dyn_lin(x, u, th):
@@ -300,9 +328,11 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
             return jnp.zeros(0, dtype)
         return funcs.term_eq(X[-1], theta[-1])
 
+    def cost_grads(x, u, th, y, rho):
+        return jax.grad(stage_cost_aug, argnums=(0, 1))(x, u, th, y, rho)
+
     def cost_terms(x, u, th, y, rho):
-        gx = jax.grad(stage_cost_aug, argnums=0)(x, u, th, y, rho)
-        gu = jax.grad(stage_cost_aug, argnums=1)(x, u, th, y, rho)
+        gx, gu = cost_grads(x, u, th, y, rho)
         H = jax.hessian(stage_cost_aug, argnums=(0, 1))(x, u, th, y, rho)
         Hxx, Hxu = H[0]
         Hux, Huu = H[1]
@@ -371,17 +401,34 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         hist_U: jnp.ndarray
         hist_s: jnp.ndarray  # (max_iter, 3): [kkt, mu, objective]
 
+    const_H = opt.const_cost_hessian and not (has_eq or has_eqN)
+    if const_H:
+        # quadratic costs: Hessian blocks are point-independent — evaluate once
+        # (incl. the convexify eigh when enabled) instead of every iteration
+        _, _, Hxx_c, Hux_c, Huu_c = jax.vmap(
+            cost_terms, in_axes=(0, 0, 0, 0, None))(
+                X_init[:-1], U_init, theta[:-1], Y0, rho0)
+        _, HN_c = term_terms(X_init[-1], yN0, rho0)
+
     def linearize(X, U, Y, yN, rho):
         """One full linearization of dynamics/costs/constraints along the horizon —
         shared by the convergence test and the Newton step (the expensive part)."""
         F, A, B = jax.vmap(dyn_lin)(X[:-1], U, theta[:-1])
-        gx, gu, Hxx, Hux, Huu = jax.vmap(
-            cost_terms, in_axes=(0, 0, 0, 0, None))(X[:-1], U, theta[:-1], Y, rho)
-        gN, HN = term_terms(X[-1], yN, rho)
+        if const_H:
+            gx, gu = jax.vmap(
+                cost_grads, in_axes=(0, 0, 0, 0, None))(X[:-1], U, theta[:-1],
+                                                        Y, rho)
+            Hxx, Hux, Huu = Hxx_c, Hux_c, Huu_c
+            gN = jax.grad(term_cost_aug, argnums=0)(X[-1], yN, rho)
+            HN = HN_c
+        else:
+            gx, gu, Hxx, Hux, Huu = jax.vmap(
+                cost_terms, in_axes=(0, 0, 0, 0, None))(X[:-1], U, theta[:-1],
+                                                        Y, rho)
+            gN, HN = term_terms(X[-1], yN, rho)
         c = stage_c(X, U)
         cN = term_c(X)
-        Cx, Cu = jax.vmap(stage_c_jac)(X[:-1], U, theta[:-1], lbx_c, ubx_c,
-                                       lbu_c, ubu_c, mask)
+        Cx, Cu = jax.vmap(stage_c_jac)(X[:-1], U, theta[:-1], mask)
         CxN = term_c_jac(X[-1])
         return (F, A, B, gx, gu, Hxx, Hux, Huu, gN, HN, c, cN, Cx, Cu, CxN)
 
