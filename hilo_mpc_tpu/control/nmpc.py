@@ -36,7 +36,8 @@ _NLP_OPTION_KEYS = {
     "integration_method", "degree", "collocation_scheme", "substeps",
     "newton_iters", "max_iter", "tol", "mu_init", "warm_start", "print_level",
     "dt", "convexify", "n_linesearch", "early_exit", "u_pf_lb", "u_pf_ub",
-    "ipopt_debugger", "parallel_riccati", "mehrotra", "riccati_unroll",
+    "ipopt_debugger", "parallel_riccati", "pallas_riccati", "mehrotra",
+    "riccati_unroll",
     "const_cost_hessian",
     "mi_neighbors",
     "mi_max_enum",
@@ -635,6 +636,7 @@ class NMPC:
             # solves (measured on v5e: at B>=256 the chip is already saturated
             # by the batch, and the scan's extra flops lose 4-15x)
             parallel_riccati=options.get("parallel_riccati", False),
+            pallas_riccati=options.get("pallas_riccati", False),
             # ~30% fewer IP iterations at identical solutions (ignored by the
             # solver when equality constraints are present)
             mehrotra=options.get("mehrotra", True),

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .riccati import backward_sweep, solve_lq, solve_lq_parallel
+from .riccati import (backward_sweep, make_lq_solver_pallas, solve_lq,
+                      solve_lq_parallel)
 
 
 class OCPFunctions(NamedTuple):
@@ -99,6 +100,9 @@ class IPOptions:
     rho_eq_max: float = 1e7
     record_iterates: bool = False  # keep per-iteration (X, U, kkt, mu, obj) history
     parallel_riccati: bool = False  # O(log N)-depth associative-scan KKT solve
+    # batched sweeps as ONE fused Pallas kernel (batch in lanes, stages
+    # unrolled in VMEM); engages under vmap via custom_vmap, f32 only
+    pallas_riccati: bool = False
     mehrotra: bool = False       # predictor-corrector with adaptive centering
     # lax.scan unroll factor for the Riccati sweeps: unrolling lets XLA fuse
     # across stages and trims per-step loop overhead (measured on v5e: the
@@ -558,6 +562,9 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         r_dyn = F - X[1:]
         if opt.parallel_riccati:
             lq_solver = solve_lq_parallel
+        elif opt.pallas_riccati:
+            lq_solver = make_lq_solver_pallas(reg=opt.reg,
+                                              unroll=opt.riccati_unroll)
         else:
             lq_solver = partial(solve_lq, unroll=opt.riccati_unroll)
 

@@ -144,3 +144,234 @@ def fgm_boxqp_batch_xla(H, G, x0_batch, lb, ub, iters: int = 60, u0_batch=None):
 
     u, _ = jax.lax.fori_loop(0, iters, body, (u0, u0))
     return u
+
+
+# ---------------------------------------------------------------------------
+# Fused batched Riccati LQ sweep (the NMPC/MHE KKT factor+solve hot op)
+# ---------------------------------------------------------------------------
+
+
+def riccati_lq_pallas(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
+                      reg: float = 1e-8, tile_b: int = 512,
+                      interpret: Optional[bool] = None):
+    """Batched stagewise LQ solve as ONE Pallas kernel.
+
+    Solves the same equality-constrained LQ problem as `ops.riccati.solve_lq`
+    for a whole batch at once: backward Riccati recursion + forward affine
+    rollout, with every per-stage matrix entry held as a (1, tile_b) lane
+    vector in VMEM/registers and all stage/index loops unrolled at trace time.
+    The XLA formulation (even fully unrolled) re-materializes each intermediate
+    to HBM between fusions; here the entire chain stays on-chip, so the kernel
+    reads each input exactly once and writes only the results.
+
+    Shapes (Bt = batch): A (Bt,N,nx,nx), B (Bt,N,nx,nu), Q (Bt,N,nx,nx),
+    S (Bt,N,nu,nx), R (Bt,N,nu,nu), q (Bt,N,nx), r (Bt,N,nu), c (Bt,N,nx),
+    P_term (Bt,nx,nx), p_term (Bt,nx), dx0 (Bt,nx).
+    Returns (dX (Bt,N+1,nx), dU (Bt,N,nu), lam (Bt,N,nx), K (Bt,N,nu,nx),
+    kff (Bt,N,nu), cost_red (Bt,)).
+
+    The control-space Schur complement G (nu x nu) is factorized by an
+    unrolled Cholesky + substitution (exact, fusable); `reg` is added to its
+    diagonal as in the XLA path. Intended for small nx/nu (<= ~6) — the staple
+    sizes of process-control OCPs; larger blocks should use `solve_lq`, whose
+    matmuls then amortize.
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    Bt, N, nx, nu = A.shape[0], A.shape[1], A.shape[2], B.shape[3]
+    f32 = jnp.float32
+    Bpad = _round_up(max(Bt, 1), tile_b)
+
+    def to_feat(x, nfeat):
+        # (Bt, N, ...) -> (N, nfeat, Bpad): features in sublanes, batch in lanes
+        x = jnp.asarray(x, f32).reshape(Bt, N, nfeat)
+        x = jnp.moveaxis(x, 0, -1)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Bpad - Bt)))
+
+    def to_feat1(x, nfeat):
+        x = jnp.asarray(x, f32).reshape(Bt, nfeat)
+        x = jnp.moveaxis(x, 0, -1)
+        # identity padding for P_term keeps the padded lanes' G = R + reg PD
+        return jnp.pad(x, ((0, 0), (0, Bpad - Bt)))
+
+    A_f = to_feat(A, nx * nx)
+    B_f = to_feat(B, nx * nu)
+    Q_f = to_feat(Q, nx * nx)
+    S_f = to_feat(S, nu * nx)
+    R_f = to_feat(R, nu * nu)
+    q_f = to_feat(q, nx)
+    r_f = to_feat(r, nu)
+    c_f = to_feat(c, nx)
+    Pt_f = to_feat1(P_term, nx * nx)
+    pt_f = to_feat1(p_term, nx)
+    dx0_f = to_feat1(dx0, nx)
+    # padded lanes: R = I so the unrolled Cholesky stays finite
+    if Bpad > Bt:
+        eyeR = jnp.tile(jnp.eye(nu, dtype=f32).reshape(nu * nu, 1),
+                        (1, Bpad - Bt))
+        R_f = R_f.at[:, :, Bt:].set(eyeR[None])
+
+    def kernel(A_ref, B_ref, Q_ref, S_ref, R_ref, q_ref, r_ref, c_ref,
+               Pt_ref, pt_ref, dx0_ref,
+               dX_ref, dU_ref, lam_ref, K_ref, kff_ref, dec_ref,
+               Pn_s, pn_s):
+        def rd(ref, k, idx):
+            return ref[k, idx:idx + 1, :]            # (1, TB)
+
+        def rd1(ref, idx):
+            return ref[idx:idx + 1, :]
+
+        # ---- backward sweep (unrolled over stages and indices) ----
+        P = [[rd1(Pt_ref, i * nx + j) for j in range(nx)] for i in range(nx)]
+        p = [rd1(pt_ref, i) for i in range(nx)]
+        dec = jnp.zeros_like(p[0])
+        for k in range(N - 1, -1, -1):
+            Ak = [[rd(A_ref, k, i * nx + j) for j in range(nx)]
+                  for i in range(nx)]
+            Bk = [[rd(B_ref, k, i * nu + j) for j in range(nu)]
+                  for i in range(nx)]
+            # Pc_p = P c + p ; PA = P A ; PB = P B
+            ck = [rd(c_ref, k, i) for i in range(nx)]
+            Pc_p = [sum(P[i][l] * ck[l] for l in range(nx)) + p[i]
+                    for i in range(nx)]
+            PA = [[sum(P[i][l] * Ak[l][j] for l in range(nx))
+                   for j in range(nx)] for i in range(nx)]
+            PB = [[sum(P[i][l] * Bk[l][j] for l in range(nx))
+                   for j in range(nu)] for i in range(nx)]
+            # G = R + B^T PB (sym + reg I); H_ux = S + B^T PA; g_u = r + B^T Pc_p
+            G = [[rd(R_ref, k, i * nu + j)
+                  + sum(Bk[l][i] * PB[l][j] for l in range(nx))
+                  for j in range(nu)] for i in range(nu)]
+            G = [[0.5 * (G[i][j] + G[j][i]) + (reg if i == j else 0.0)
+                  for j in range(nu)] for i in range(nu)]
+            Hux = [[rd(S_ref, k, i * nx + j)
+                    + sum(Bk[l][i] * PA[l][j] for l in range(nx))
+                    for j in range(nx)] for i in range(nu)]
+            g_u = [rd(r_ref, k, i)
+                   + sum(Bk[l][i] * Pc_p[l] for l in range(nx))
+                   for i in range(nu)]
+            # solve G X = [Hux | g_u] by unrolled Cholesky + substitution
+            L = [[None] * nu for _ in range(nu)]
+            for i in range(nu):
+                for j in range(i + 1):
+                    sgl = G[i][j]
+                    for l in range(j):
+                        sgl = sgl - L[i][l] * L[j][l]
+                    L[i][j] = jnp.sqrt(sgl) if i == j else sgl / L[j][j]
+            rhs = [Hux[i] + [g_u[i]] for i in range(nu)]   # nu x (nx+1)
+            ncol = nx + 1
+            Yc = [[None] * ncol for _ in range(nu)]
+            for i in range(nu):
+                for m in range(ncol):
+                    acc = rhs[i][m]
+                    for l in range(i):
+                        acc = acc - L[i][l] * Yc[l][m]
+                    Yc[i][m] = acc / L[i][i]
+            Xc = [[None] * ncol for _ in range(nu)]
+            for i in range(nu - 1, -1, -1):
+                for m in range(ncol):
+                    acc = Yc[i][m]
+                    for l in range(i + 1, nu):
+                        acc = acc - L[l][i] * Xc[l][m]
+                    Xc[i][m] = acc / L[i][i]
+            Kk = [[-Xc[i][j] for j in range(nx)] for i in range(nu)]
+            kffk = [-Xc[i][nx] for i in range(nu)]
+            # stash gains and the (P_{k+1}, p_{k+1}) pair for the forward pass
+            for i in range(nu):
+                for j in range(nx):
+                    K_ref[k, i * nx + j, :] = Kk[i][j][0]
+                kff_ref[k, i, :] = kffk[i][0]
+            for i in range(nx):
+                for j in range(nx):
+                    Pn_s[k, i * nx + j, :] = P[i][j][0]
+                pn_s[k, i, :] = p[i][0]
+            # value-function update
+            P_new = [[rd(Q_ref, k, i * nx + j)
+                      + sum(Ak[l][i] * PA[l][j] for l in range(nx))
+                      + sum(Hux[l][i] * Kk[l][j] for l in range(nu))
+                      for j in range(nx)] for i in range(nx)]
+            P = [[0.5 * (P_new[i][j] + P_new[j][i]) for j in range(nx)]
+                 for i in range(nx)]
+            p = [rd(q_ref, k, i)
+                 + sum(Ak[l][i] * Pc_p[l] for l in range(nx))
+                 + sum(Hux[l][i] * kffk[l] for l in range(nu))
+                 for i in range(nx)]
+            dec = dec - 0.5 * sum(kffk[i] * g_u[i] for i in range(nu))
+        dec_ref[0, :] = dec[0]
+
+        # ---- forward rollout ----
+        dx = [rd1(dx0_ref, i) for i in range(nx)]
+        for i in range(nx):
+            dX_ref[0, i, :] = dx[i][0]
+        for k in range(N):
+            Ak = [[rd(A_ref, k, i * nx + j) for j in range(nx)]
+                  for i in range(nx)]
+            Bk = [[rd(B_ref, k, i * nu + j) for j in range(nu)]
+                  for i in range(nx)]
+            Kk = [[K_ref[k, i * nx + j:i * nx + j + 1, :] for j in range(nx)]
+                  for i in range(nu)]
+            du = [sum(Kk[i][j] * dx[j] for j in range(nx))
+                  + kff_ref[k, i:i + 1, :] for i in range(nu)]
+            dx_n = [sum(Ak[i][j] * dx[j] for j in range(nx))
+                    + sum(Bk[i][j] * du[j] for j in range(nu))
+                    + rd(c_ref, k, i) for i in range(nx)]
+            lam = [sum(Pn_s[k, i * nx + j:i * nx + j + 1, :] * dx_n[j]
+                       for j in range(nx))
+                   + pn_s[k, i:i + 1, :] for i in range(nx)]
+            for i in range(nu):
+                dU_ref[k, i, :] = du[i][0]
+            for i in range(nx):
+                dX_ref[k + 1, i, :] = dx_n[i][0]
+                lam_ref[k, i, :] = lam[i][0]
+            dx = dx_n
+
+    grid = (Bpad // tile_b,)
+
+    def spec3(nfeat):
+        return pl.BlockSpec((N, nfeat, tile_b), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    def spec2(nfeat):
+        return pl.BlockSpec((nfeat, tile_b), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((N + 1, nx, Bpad), f32),   # dX
+        jax.ShapeDtypeStruct((N, nu, Bpad), f32),       # dU
+        jax.ShapeDtypeStruct((N, nx, Bpad), f32),       # lam
+        jax.ShapeDtypeStruct((N, nu * nx, Bpad), f32),  # K
+        jax.ShapeDtypeStruct((N, nu, Bpad), f32),       # kff
+        jax.ShapeDtypeStruct((1, Bpad), f32),           # cost_red
+    )
+    out_specs = (
+        pl.BlockSpec((N + 1, nx, tile_b), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        spec3(nu), spec3(nx), spec3(nu * nx), spec3(nu),
+        pl.BlockSpec((1, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+    dX, dU, lam, K, kff, dec = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec3(nx * nx), spec3(nx * nu), spec3(nx * nx),
+                  spec3(nu * nx), spec3(nu * nu), spec3(nx), spec3(nu),
+                  spec3(nx), spec2(nx * nx), spec2(nx), spec2(nx)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((N, nx * nx, tile_b), f32),   # P_{k+1} per stage
+            pltpu.VMEM((N, nx, tile_b), f32),        # p_{k+1} per stage
+        ],
+        interpret=interpret,
+    )(A_f, B_f, Q_f, S_f, R_f, q_f, r_f, c_f, Pt_f, pt_f, dx0_f)
+
+    def back(x, shape):
+        return jnp.moveaxis(x, -1, 0)[:Bt].reshape(shape)
+
+    return (back(dX, (Bt, N + 1, nx)), back(dU, (Bt, N, nu)),
+            back(lam, (Bt, N, nx)), back(K, (Bt, N, nu, nx)),
+            back(kff, (Bt, N, nu)), back(dec, (Bt,)))

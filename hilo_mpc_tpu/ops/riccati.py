@@ -258,3 +258,40 @@ def dare_solve(A, B, Q, R, iters: int = 200):
     P = lax.fori_loop(0, iters, body, Q)
     K = solve_psd_small(R + B.T @ P @ B, B.T @ P @ A)
     return K, P
+
+
+def make_lq_solver_pallas(reg: float = 1e-9, unroll: int = 1):
+    """`solve_lq` with a batched fast path: under `vmap`, the whole batch is
+    dispatched to the fused Pallas sweep kernel (ops/pallas_kernels.py:
+    riccati_lq_pallas) via `jax.custom_batching.custom_vmap`; unbatched calls
+    fall back to the XLA sweeps. f32 only (the kernel's lane layout)."""
+    from jax.custom_batching import custom_vmap
+
+    from .pallas_kernels import riccati_lq_pallas
+
+    @custom_vmap
+    def f(A, B, Q, S, R, q, r, c, P_term, p_term, dx0):
+        return solve_lq(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
+                        reg=reg, unroll=unroll)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        args = [x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+                for x, b in zip(args, in_batched)]
+        batched = LQSolution(dX=True, dU=True, lam=True, K=True, kff=True,
+                             cost_red=True)
+        if args[0].dtype != jnp.float32:
+            # the kernel's lane layout is f32-only; f64 solves (CPU parity
+            # checks) take the XLA sweeps
+            out = jax.vmap(lambda *a: solve_lq(*a, reg=reg, unroll=unroll)
+                           )(*args)
+            return out, batched
+        dX, dU, lam, K, kff, dec = riccati_lq_pallas(*args, reg=reg)
+        out = LQSolution(dX=dX, dU=dU, lam=lam, K=K, kff=kff, cost_red=dec)
+        return out, batched
+
+    # the solver passes reg=... per call; the kernel's reg is bound here
+    def wrapped(*args, reg=None):
+        return f(*args)
+
+    return wrapped
