@@ -280,18 +280,27 @@ def make_lq_solver_pallas(reg: float = 1e-9, unroll: int = 1):
                 for x, b in zip(args, in_batched)]
         batched = LQSolution(dX=True, dU=True, lam=True, K=True, kff=True,
                              cost_red=True)
+        tile = min(512, max(128, -(-axis_size // 128) * 128))
         if args[0].dtype != jnp.float32:
             # the kernel's lane layout is f32-only; f64 solves (CPU parity
             # checks) take the XLA sweeps
             out = jax.vmap(lambda *a: solve_lq(*a, reg=reg, unroll=unroll)
                            )(*args)
             return out, batched
-        dX, dU, lam, K, kff, dec = riccati_lq_pallas(*args, reg=reg)
+        dX, dU, lam, K, kff, dec = riccati_lq_pallas(*args, reg=reg,
+                                                     tile_b=tile)
         out = LQSolution(dX=dX, dU=dU, lam=lam, K=K, kff=kff, cost_red=dec)
         return out, batched
 
-    # the solver passes reg=... per call; the kernel's reg is bound here
+    # custom_vmap functions take positional arrays only, so reg is bound at
+    # factory time; reject a conflicting per-call value instead of ignoring it
+    factory_reg = reg
+
     def wrapped(*args, reg=None):
+        if reg is not None and reg != factory_reg:
+            raise ValueError(
+                f"make_lq_solver_pallas was built with reg={factory_reg}; "
+                f"per-call reg={reg} is not supported — rebuild the solver")
         return f(*args)
 
     return wrapped

@@ -27,12 +27,21 @@ _CHOL_UNROLL = 6
 def solve_small(G, rhs):
     """Solve G @ X = rhs for general invertible G, fusable for n <= 3.
 
+    The n=2/3 paths are cofactor (adjugate) solves made scale-invariant by
+    normalizing G to unit max-entry first — otherwise det overflows f32 at
+    ||G|| ~ 1e13, which the barrier-condensed Schur complements can reach near
+    active constraints (z/s is clipped only at 1e10*mu/s).
+
     Shapes: G (..., n, n), rhs (..., n) or (..., n, k).
     """
     n = G.shape[-1]
     vec = rhs.ndim == G.ndim - 1
     if vec:
         rhs = rhs[..., None]
+    if 2 <= n <= 3:
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(G), axis=(-2, -1), keepdims=True), 1e-30)
+        G = G / scale
     if n == 1:
         out = rhs / G[..., :1, :]
     elif n == 2:
@@ -41,7 +50,7 @@ def solve_small(G, rhs):
         det = a * d - b * c
         x0 = (d[..., None] * rhs[..., 0, :] - b[..., None] * rhs[..., 1, :])
         x1 = (-c[..., None] * rhs[..., 0, :] + a[..., None] * rhs[..., 1, :])
-        out = jnp.stack([x0, x1], axis=-2) / det[..., None, None]
+        out = jnp.stack([x0, x1], axis=-2) / (det[..., None, None] * scale)
     elif n == 3:
         a, b, c = G[..., 0, 0], G[..., 0, 1], G[..., 0, 2]
         d, e, f = G[..., 1, 0], G[..., 1, 1], G[..., 1, 2]
@@ -60,7 +69,8 @@ def solve_small(G, rhs):
             jnp.stack([A00, A01, A02], axis=-1),
             jnp.stack([A10, A11, A12], axis=-1),
             jnp.stack([A20, A21, A22], axis=-1)], axis=-2)
-        out = jnp.einsum("...ij,...jk->...ik", adj, rhs) / det[..., None, None]
+        out = (jnp.einsum("...ij,...jk->...ik", adj, rhs)
+               / (det[..., None, None] * scale))
     else:
         out = jnp.linalg.solve(G, rhs)
     return out[..., 0] if vec else out
@@ -91,8 +101,10 @@ def chol_small(G):
 
 
 def solve_psd_small(G, rhs):
-    """Solve G @ X = rhs for symmetric PD G; adjugate for n <= 3, Cholesky above.
+    """Solve G @ X = rhs for symmetric PD G.
 
+    Scaled adjugate for n <= 3; unrolled Cholesky + unrolled substitution for
+    n <= 6 (still one fused elementwise chain); stock XLA Cholesky above.
     Shapes: G (..., n, n), rhs (..., n) or (..., n, k).
     """
     n = G.shape[-1]
@@ -101,8 +113,30 @@ def solve_psd_small(G, rhs):
     vec = rhs.ndim == G.ndim - 1
     if vec:
         rhs = rhs[..., None]
-    L = jnp.linalg.cholesky(G)
-    out = jax.scipy.linalg.cho_solve((L, True), rhs)
+    if n <= _CHOL_UNROLL:
+        L = chol_small(G)
+        ncol = rhs.shape[-1]
+        Lv = [[L[..., i, j] for j in range(n)] for i in range(n)]
+        # forward substitution L Y = rhs, then back substitution L^T X = Y
+        Y = [[None] * ncol for _ in range(n)]
+        for i in range(n):
+            for m in range(ncol):
+                acc = rhs[..., i, m]
+                for l in range(i):
+                    acc = acc - Lv[i][l] * Y[l][m]
+                Y[i][m] = acc / Lv[i][i]
+        X = [[None] * ncol for _ in range(n)]
+        for i in range(n - 1, -1, -1):
+            for m in range(ncol):
+                acc = Y[i][m]
+                for l in range(i + 1, n):
+                    acc = acc - Lv[l][i] * X[l][m]
+                X[i][m] = acc / Lv[i][i]
+        out = jnp.stack([jnp.stack([X[i][m] for m in range(ncol)], axis=-1)
+                         for i in range(n)], axis=-2)
+    else:
+        L = jnp.linalg.cholesky(G)
+        out = jax.scipy.linalg.cho_solve((L, True), rhs)
     return out[..., 0] if vec else out
 
 

@@ -358,3 +358,22 @@ class TestSmallSolveAndUnroll:
             got = np.asarray(solve_small(jnp.asarray(G), jnp.asarray(y)))
             want = np.linalg.solve(G, y[..., None])[..., 0]
             np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+    def test_solve_small_huge_norm_no_overflow(self):
+        # f32 det overflow regression: adjugate solves must be scale-invariant
+        from hilo_mpc_tpu.ops.smallalg import solve_small
+        for n in (2, 3):
+            G = jnp.asarray(5e12 * np.eye(n), jnp.float32)
+            got = np.asarray(solve_small(G, jnp.ones(n, jnp.float32)))
+            np.testing.assert_allclose(got, np.full(n, 2e-13), rtol=1e-5)
+
+    def test_solve_psd_small_unrolled_n4_to_n6(self):
+        from hilo_mpc_tpu.ops.smallalg import solve_psd_small
+        rng = np.random.default_rng(5)
+        for n in (4, 5, 6):
+            M = rng.standard_normal((7, n, n))
+            G = (M @ np.swapaxes(M, 1, 2) + n * np.eye(n)).astype(np.float32)
+            rhs = rng.standard_normal((7, n, 3)).astype(np.float32)
+            got = np.asarray(solve_psd_small(jnp.asarray(G), jnp.asarray(rhs)))
+            np.testing.assert_allclose(got, np.linalg.solve(G, rhs),
+                                       rtol=2e-3, atol=2e-3)

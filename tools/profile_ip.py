@@ -71,13 +71,13 @@ def main():
     d_cx = (rows["it10_convexify"] - rows["it10"]) / 10.0
     print(f"convexify (eigh):              {d_cx*1e3:7.3f} ms/it "
           f"({d_cx/per_it*100:.0f}% of iter)")
-    rest = per_it - d_meh - d_ls
+    # base config runs mehrotra=False and n_linesearch=1, so per_it already
+    # contains ONE newton_step and NO merit rollouts; d_meh measures the cost
+    # of one extra newton_step, d_ls of one extra rollout
+    rest = per_it - d_meh
     print(f"remainder (linearize + misc):  {rest*1e3:7.3f} ms/it "
-          f"({rest/per_it*100:.0f}% of iter)")
-
-
-if __name__ == "__main__":
-    main()
+          f"({rest/per_it*100:.0f}% of iter; newton_step ~= the mehrotra "
+          f"delta above)")
 
 
 def extra():
@@ -90,3 +90,10 @@ def extra():
     ]:
         t, conv = timed_solve(opts, B=B)
         print(f"{name:18s} t={t*1e3:8.2f} ms  conv={conv:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "extra":
+        extra()
+    else:
+        main()
