@@ -221,6 +221,8 @@ class Model:
                 self._ode = wrap_rhs(equations, "ode")
                 return self
             from ..utils.parsing import apply_parsed_equations
+            if isinstance(equations, (list, tuple)):
+                equations = "\n".join(equations)
             apply_parsed_equations(self, equations)
             self._equations_src = equations  # DSL text enables pickling
             return self
@@ -517,6 +519,10 @@ class Model:
                 u = u.reshape(-1, 1)
         if u.shape == (self.n_u, steps) and self.n_u != steps:
             u = u.T
+        if u.shape == (1, self.n_u) and steps > 1:
+            # a single input row is held over all steps (reference: repmat in
+            # Model.simulate, dynamic_model.py:3942-3990)
+            u = np.tile(u, (steps, 1))
         if u.shape != (steps, self.n_u):
             raise ValueError(f"u has shape {u.shape}, expected {(steps, self.n_u)}")
         return u

@@ -238,9 +238,12 @@ class MovingHorizonEstimator(Estimator):
         self._bounds = bounds
         self._dims = dims
         self._funcs = funcs
+        # 1e-7 KKT is unreachable in f32; pick the default by solver dtype
+        default_tol = 1e-7 if dtype == jnp.float64 else 1e-4
         ip_opts = IPOptions(max_iter=options.get("max_iter", 40),
-                            tol=options.get("tol", 1e-7),
+                            tol=options.get("tol", default_tol),
                             mu_init=options.get("mu_init", 1e-2))
+        self._ip_opts = ip_opts
         self._solve_jit = jax.jit(partial(
             solve_ocp, funcs, dims, options=ip_opts, fix_x0=False))
         self._solver_dtype = dtype
@@ -333,8 +336,7 @@ class MovingHorizonEstimator(Estimator):
         U_init = np.zeros((B, N, nx))
         if getattr(self, "_solve_batch_jit", None) is None:
             solver = partial(solve_ocp, self._funcs, self._dims,
-                             options=IPOptions(max_iter=40, tol=1e-7,
-                                               mu_init=1e-2), fix_x0=False)
+                             options=self._ip_opts, fix_x0=False)
             bounds = self._bounds
             self._solve_batch_jit = jax.jit(jax.vmap(
                 lambda th, x0s, Xi, Ui: solver(bounds, th, x0s, Xi, Ui)))

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.smallalg import solve_small
+from ..ops.smallalg import chol_small, solve_small
 
 from ..core.integrators import IntegratorSpec, make_step
 from .base import Estimator
@@ -76,8 +76,11 @@ class ParticleFilter(Estimator):
             # propagate + additive process noise
             prop = jax.vmap(lambda s: core(s, jnp.zeros(nz, s.dtype), u, p, t, h)[0])
             parts_pr = prop(parts)
-            noise = jax.random.multivariate_normal(
-                k1, jnp.zeros(nx, parts.dtype), Q, (n_part,), method="svd")
+            # sample w ~ N(0, Q) via the unrolled Cholesky — the stock
+            # multivariate_normal decomposes Q with an SVD on every call,
+            # which dominates the whole filter step on TPU
+            Lq = chol_small(Q + 1e-12 * jnp.eye(nx, dtype=parts.dtype))
+            noise = jax.random.normal(k1, (n_part, nx), parts.dtype) @ Lq.T
             parts_pr = parts_pr + noise
             # likelihood weights
             ysig = jax.vmap(lambda s: jnp.atleast_1d(

@@ -237,9 +237,12 @@ def parse_equations(text: str, known_states: Optional[List[str]] = None,
     for n in state_eqs:
         if n not in states:
             states.append(n)
-    for n in states:
-        if n not in state_eqs:
-            raise ValueError(f"declared state {n!r} has no equation")
+    # partial DSL text (e.g. set_measurement_equations called on its own) has
+    # no state equations at all — only enforce completeness when some exist
+    if state_eqs:
+        for n in states:
+            if n not in state_eqs:
+                raise ValueError(f"declared state {n!r} has no equation")
 
     algebraic = list(known_algebraic or [])
     for n in t_vars:

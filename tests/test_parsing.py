@@ -164,3 +164,39 @@ class TestParserEdgeCases:
         """)
         assert p.parameters == ["kr"]
         assert p.constants == {"c0": 0.5}
+
+
+class TestPartialDSL:
+    def test_set_equations_accepts_list(self):
+        from hilo_mpc_tpu import Model
+        m = Model(name="lst")
+        m.set_dynamical_states(["a", "b"])
+        m.set_inputs("u")
+        m.set_measurements("y1")
+        m.set_equations(["da/dt = b", "db/dt = -a + u", "y1(k) = a"])
+        m.setup(dt=0.1)
+        m.set_initial_conditions([1.0, 0.0])
+        out = m.simulate(u=0.0, steps=3)
+        assert out["x"].shape[-1] == 2
+
+    def test_measurement_equations_alone(self):
+        # reference pattern: declare, set ODEs, then set measurements separately
+        from hilo_mpc_tpu import Model
+        m = Model(name="sep")
+        m.set_dynamical_states("a")
+        m.set_inputs("u")
+        m.set_measurements("y1")
+        m.set_dynamical_equations("da/dt = -a + u")
+        m.set_measurement_equations("y1(k) = 2*a")
+        m.setup(dt=0.1)
+        m.set_initial_conditions([1.0])
+        out = m.simulate(u=0.0, steps=2)
+        assert np.allclose(np.asarray(out["y"])[-1],
+                           2.0 * np.asarray(out["x"])[-1], atol=1e-6)
+
+    def test_missing_state_equation_still_raises(self):
+        from hilo_mpc_tpu import Model
+        m = Model(name="bad")
+        m.set_dynamical_states(["a", "b"])
+        with pytest.raises(ValueError, match="has no equation"):
+            m.set_equations(["da/dt = -a"])
