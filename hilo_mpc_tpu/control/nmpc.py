@@ -626,7 +626,9 @@ class NMPC:
         self._funcs = funcs
         ip_opts = IPOptions(
             max_iter=options.get("max_iter", 40),
-            tol=options.get("tol", 1e-6),
+            # 1e-6 KKT is routinely unreachable in f32 — follow the dtype
+            tol=options.get("tol",
+                            1e-6 if dtype == jnp.float64 else 1e-4),
             mu_init=options.get("mu_init", 1e-1),
             convexify=options.get("convexify", True),
             n_linesearch=options.get("n_linesearch", 10),

@@ -174,9 +174,14 @@ class GaussianProcess:
     def _refresh_state(self):
         params = self._params()
         sn2 = float(np.squeeze(self.noise_variance.value)) ** 2
-        L, alpha, _ = ExactInference.posterior_state(
-            self.kernel, self.mean, params, jnp.asarray(self.X_train),
-            jnp.asarray(self.y_train), sn2)
+        # host-side jitter escalation: retry with a larger factorization floor
+        # until the Cholesky is finite (f32 grams with tiny noise need it)
+        for jitter in (None, 1e-5, 1e-4, 1e-3, 1e-2):
+            L, alpha, _ = ExactInference.posterior_state(
+                self.kernel, self.mean, params, jnp.asarray(self.X_train),
+                jnp.asarray(self.y_train), sn2, jitter=jitter)
+            if bool(np.isfinite(np.asarray(L)).all()):
+                break
         self._state = (np.asarray(L), np.asarray(alpha))
 
     def is_setup(self):

@@ -17,11 +17,20 @@ class Inference:
 
 class ExactInference(Inference):
     @staticmethod
-    def posterior_state(kernel, mean, params, X, y, noise_variance):
-        """Precompute (L, alpha) for training data X (n, d), y (n,)."""
+    def posterior_state(kernel, mean, params, X, y, noise_variance, jitter=None):
+        """Precompute (L, alpha) for training data X (n, d), y (n,).
+
+        A dtype-aware jitter floor (relative to the gram diagonal) keeps the
+        Cholesky factorizable when noise_variance is below the float's
+        resolution — e.g. sigma_n=1e-4 means variance 1e-8, invisible next to
+        O(1) gram entries in f32. Without it the posterior is silently NaN.
+        """
         n = X.shape[0]
         K = kernel.gram(params, X)
-        K = K + noise_variance * jnp.eye(n, dtype=K.dtype)
+        if jitter is None:
+            jitter = 1e-6 if K.dtype == jnp.float32 else 1e-12
+        floor = jitter * jnp.mean(jnp.diagonal(K))
+        K = K + (noise_variance + floor) * jnp.eye(n, dtype=K.dtype)
         L = jnp.linalg.cholesky(K)
         m = jax.vmap(lambda a: mean.eval(params, a))(X)
         resid = y - m

@@ -461,3 +461,42 @@ class TestGPFactoryContracts:
         gp.setup()
         with pytest.warns(UserWarning, match="fit_model"):
             gp.set_training_data(X, X[:, 0] * 2)
+
+
+import jax
+
+
+class TestFloat32Robustness:
+    def test_gp_posterior_finite_in_f32_with_tiny_noise(self):
+        # regression: sigma_n=1e-4 (variance 1e-8) made the f32 gram Cholesky
+        # NaN before the dtype-aware jitter floor (examples/05 SMPC was broken)
+        from hilo_mpc_tpu import GP
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-1.5, 1.5, (30, 1))
+        y = -0.08 * np.tanh(3.0 * X[:, 0]) + 0.01 * rng.standard_normal(30)
+        with jax.enable_x64(False):
+            gp = GP(["v"], ["d"], noise_variance=1e-4)
+            gp.set_training_data(X.T, y[None])
+            gp.setup()
+            mu, var = gp.predict(np.array([[0.5]]).T)
+            assert np.isfinite(np.asarray(mu)).all()
+            assert np.isfinite(np.asarray(var)).all()
+            # posterior must actually interpolate the data, not just be finite
+            mu_t, _ = gp.predict(X.T)
+            assert float(np.mean((np.asarray(mu_t).ravel() - y) ** 2)) < 1e-3
+
+    def test_nmpc_default_tol_follows_dtype(self):
+        from hilo_mpc_tpu import NMPC
+        from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
+
+        def build():
+            nmpc = NMPC(cstr_schaffner_and_zeitz())
+            nmpc.horizon = 5
+            nmpc.quad_stage_cost.add_states(weights=[1.0, 1.0], ref=[0.3, 0.18])
+            nmpc.set_box_constraints(u_lb=[-5.0], u_ub=[5.0])
+            nmpc.set_parameters([1.0] * 6)
+            nmpc.setup(options={"dt": 0.1})
+            return nmpc
+        assert build()._ip_opts.tol == 1e-6          # x64 on (conftest)
+        with jax.enable_x64(False):
+            assert build()._ip_opts.tol == 1e-4
