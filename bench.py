@@ -59,6 +59,7 @@ def _run(ge, jax, dev, B, reps):
     X_warm = jnp.concatenate([sol.X[:, 1:], sol.X[:, -1:]], axis=1)
     X_warm = X_warm.at[:, 0, :].set(xs0_B)
     U_warm = jnp.concatenate([sol.U[:, 1:], sol.U[:, -1:]], axis=1)
+    fn = nmpc.solve_batch_fn(warm=True)
     sol_w = fn(theta_B, xs0_B, X_warm, U_warm)
     jax.block_until_ready(sol_w.U)
     t0 = time.perf_counter()
