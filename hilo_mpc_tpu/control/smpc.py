@@ -223,7 +223,9 @@ class SMPC(NMPC):
         def g(xs, u):
             mu = xs[:nx]
             P = xs[nx:nx + nx * nx].reshape(nx, nx)
-            sig = jnp.sqrt(jnp.clip(jnp.diagonal(P), 1e-12, None))
+            # smooth (clip would zero the gradient w.r.t. the covariance
+            # states in the floor region and stall the IP iteration)
+            sig = jnp.sqrt(jnp.maximum(jnp.diagonal(P), 0.0) + 1e-10)
             rows = []
             for i in rows_ub:
                 rows.append(mu[i] + kappa * sig[i] - ub[i])

@@ -174,15 +174,29 @@ class GaussianProcess:
     def _refresh_state(self):
         params = self._params()
         sn2 = float(np.squeeze(self.noise_variance.value)) ** 2
-        # host-side jitter escalation: retry with a larger factorization floor
-        # until the Cholesky is finite (f32 grams with tiny noise need it)
-        for jitter in (None, 1e-5, 1e-4, 1e-3, 1e-2):
-            L, alpha, _ = ExactInference.posterior_state(
-                self.kernel, self.mean, params, jnp.asarray(self.X_train),
-                jnp.asarray(self.y_train), sn2, jitter=jitter)
-            if bool(np.isfinite(np.asarray(L)).all()):
+        # evaluate the gram with the accelerator (cheap, well-conditioned) but
+        # FACTORIZE on the host in float64: with small noise the system is
+        # condition ~1/(sn2+jitter) and f32 (worse: TPU bf16) factorizations
+        # give backend-dependent garbage for L/alpha. This runs once per fit,
+        # eagerly — predictions stay fully traced/jittable via the stored state.
+        X = jnp.asarray(self.X_train)
+        K = np.asarray(self.kernel.gram(params, X), dtype=np.float64)
+        n = K.shape[0]
+        m = np.asarray(
+            jax.vmap(lambda a: self.mean.eval(params, a))(X), dtype=np.float64)
+        resid = np.asarray(self.y_train, dtype=np.float64) - m
+        for jitter in (1e-10, 1e-8, 1e-6, 1e-4, 1e-2):
+            try:
+                Kj = K + (sn2 + jitter * float(np.mean(np.diagonal(K)))) * np.eye(n)
+                L = np.linalg.cholesky(Kj)
                 break
-        self._state = (np.asarray(L), np.asarray(alpha))
+            except np.linalg.LinAlgError:
+                continue
+        else:
+            raise RuntimeError("GP gram matrix is not factorizable")
+        import scipy.linalg as _sla
+        alpha = _sla.cho_solve((L, True), resid)
+        self._state = (L, alpha)
 
     def is_setup(self):
         return self._setup_done

@@ -26,15 +26,19 @@ class ExactInference(Inference):
         O(1) gram entries in f32. Without it the posterior is silently NaN.
         """
         n = X.shape[0]
-        K = kernel.gram(params, X)
+        with jax.default_matmul_precision("highest"):
+            K = kernel.gram(params, X)
         if jitter is None:
             jitter = 1e-6 if K.dtype == jnp.float32 else 1e-12
         floor = jitter * jnp.mean(jnp.diagonal(K))
         K = K + (noise_variance + floor) * jnp.eye(n, dtype=K.dtype)
-        L = jnp.linalg.cholesky(K)
-        m = jax.vmap(lambda a: mean.eval(params, a))(X)
-        resid = y - m
-        alpha = jax.scipy.linalg.cho_solve((L, True), resid)
+        with jax.default_matmul_precision("highest"):
+            # TPU-default bf16 matmuls corrupt the factorization enough to
+            # flip posterior variances negative — GP numerics always run full
+            L = jnp.linalg.cholesky(K)
+            m = jax.vmap(lambda a: mean.eval(params, a))(X)
+            resid = y - m
+            alpha = jax.scipy.linalg.cho_solve((L, True), resid)
         return L, alpha, resid
 
     @staticmethod
@@ -50,11 +54,16 @@ class ExactInference(Inference):
     def predict(kernel, mean, params, X, L, alpha, x_star, noise_variance,
                 include_noise=False):
         """Posterior mean and variance at a single query point x_star (d,)."""
-        k_star = jax.vmap(lambda a: kernel.eval(params, a, x_star))(X)
-        mu = mean.eval(params, x_star) + jnp.dot(k_star, alpha)
-        v = jax.scipy.linalg.solve_triangular(L, k_star, lower=True)
-        var = kernel.eval(params, x_star, x_star) - jnp.dot(v, v)
-        var = jnp.maximum(var, 1e-12)
+        with jax.default_matmul_precision("highest"):
+            k_star = jax.vmap(lambda a: kernel.eval(params, a, x_star))(X)
+            mu = mean.eval(params, x_star) + jnp.dot(k_star, alpha)
+            v = jax.scipy.linalg.solve_triangular(L, k_star, lower=True)
+            k_ss = kernel.eval(params, x_star, x_star)
+            var = k_ss - jnp.dot(v, v)
+        # relative floor: below the float's resolution of k(x,x) a posterior
+        # variance is numerically indistinguishable from zero anyway
+        eps = 1e-6 if var.dtype == jnp.float32 else 1e-12
+        var = jnp.maximum(var, eps * k_ss)
         if include_noise:
             var = var + noise_variance
         return mu, var
