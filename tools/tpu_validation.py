@@ -210,6 +210,9 @@ def main():
     check("smpc chance batch", smpc_chance)
     check("mhe batch", mhe_batched)
     check("mixed-integer nmpc", mi_nmpc)
+    check("nmpc path following", nmpc_path_following)
+    check("lmpc + pallas fgm qp", lmpc_and_pallas_qp)
+    check("hybrid ann nmpc", hybrid_ann_nmpc)
     fails = [r for r in RESULTS if r[1] == "FAIL"]
     print(f"\n{len(RESULTS) - len(fails)}/{len(RESULTS)} passed")
     sys.exit(1 if fails else 0)
@@ -217,3 +220,92 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def nmpc_path_following():
+    import jax.numpy as jnp
+    from hilo_mpc_tpu import Model, NMPC
+
+    m = Model(name="pm2")
+    m.set_dynamical_states(["x", "vx", "y", "vy"])
+    m.set_inputs(["Fx", "Fy"])
+    m.set_dynamical_equations(
+        lambda x, u: jnp.array([x[1], u[0] / 5.0, x[3], u[1] / 5.0]))
+    nmpc = NMPC(m)
+    nmpc.horizon = 15
+    path = lambda th: jnp.stack([jnp.sin(th), jnp.sin(2.0 * th)])
+    nmpc.create_path_variable(u_pf_lb=1e-6, speed_ref=0.3, speed_weight=2.0)
+    nmpc.quad_stage_cost.add_states(names=["x", "y"], weights=[10.0, 10.0],
+                                    path_following=True,
+                                    ref=lambda th: path(th))
+    nmpc.quad_stage_cost.add_inputs(weights=[0.01, 0.01])
+    nmpc.set_box_constraints(u_lb=[-5.0, -5.0], u_ub=[5.0, 5.0])
+    nmpc.setup(options={"dt": 0.1})
+    x = np.zeros(4)
+    for k in range(5):
+        u = nmpc.optimize(x)
+        assert nmpc.stats["converged"], (k, nmpc.stats)
+    return "path-following 5 steps converged"
+
+
+def lmpc_and_pallas_qp():
+    from hilo_mpc_tpu import LMPC, Model
+
+    m = Model(name="lin", discrete=True)
+    m.set_state_space(A=np.array([[1.0, 0.1], [0.0, 1.0]]),
+                      B=np.array([[0.005], [0.1]]))
+    lmpc = LMPC(m)
+    lmpc.horizon = 20
+    lmpc.Q = np.diag([2.0, 0.5])
+    lmpc.R = np.array([[0.1]])
+    lmpc.set_box_constraints(u_lb=[-1.0], u_ub=[1.0])
+    lmpc.setup(options={"dt": 0.1})
+    u = lmpc.optimize([1.0, 0.0])
+    assert np.isfinite(np.ravel(u)).all()
+    # the Pallas condensed-QP kernel path
+    from hilo_mpc_tpu.ops.pallas_kernels import (fgm_boxqp_batch,
+                                                 fgm_boxqp_batch_xla)
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(8, 8))
+    H = M @ M.T + np.eye(8)
+    G = rng.normal(size=(8, 2))
+    x0b = rng.normal(size=(1024, 2)).astype(np.float32)
+    lb, ub = -np.ones(8), np.ones(8)
+    u_pl = fgm_boxqp_batch(H, G, x0b, lb, ub, iters=80)
+    u_ref = fgm_boxqp_batch_xla(H, G, x0b, lb, ub, iters=80)
+    err = float(np.max(np.abs(np.asarray(u_pl) - np.asarray(u_ref))))
+    assert err < 1e-3, err
+    return f"LMPC + pallas FGM QP (max err {err:.1e})"
+
+
+def hybrid_ann_nmpc():
+    import jax.numpy as jnp
+    from hilo_mpc_tpu import ANN, Dense, Model, NMPC
+
+    # learn a residual and embed it in the controller's model
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-2, 2, (256, 1))
+    Y = 0.3 * np.tanh(X)
+    ann = ANN(["vel"], ["res"])
+    ann.add_layers(Dense(16, activation="tanh"))
+    ann.setup()
+    ann.train(X=X.T, y=Y.T, epochs=100, batch_size=64)
+    m = Model(name="hyb")
+    m.set_dynamical_states(["pos", "vel"])
+    m.set_inputs("f")
+    pred = ann.predict_fn()
+
+    def ode(x, u):
+        res = jnp.ravel(pred(jnp.atleast_1d(x[1])))[0]
+        return jnp.array([x[1], -0.5 * x[0] - 0.2 * x[1] + res + u[0]])
+
+    m.set_dynamical_equations(ode)
+    nmpc = NMPC(m)
+    nmpc.horizon = 12
+    nmpc.quad_stage_cost.add_states(weights=[3.0, 1.0], ref=[0.5, 0.0])
+    nmpc.quad_stage_cost.add_inputs(weights=0.1)
+    nmpc.set_box_constraints(u_lb=[-2.0], u_ub=[2.0])
+    nmpc.setup(options={"dt": 0.1})
+    u = nmpc.optimize([0.0, 0.0])
+    assert nmpc.stats["converged"], nmpc.stats
+    return f"ANN-in-NMPC u0={float(np.ravel(u)[0]):.3f}"
