@@ -102,10 +102,13 @@ class ArtificialNeuralNetwork:
         self.history: dict = {}
 
     # -- declaration ----------------------------------------------------------
-    def add_layers(self, layers: Union[Layer, Sequence[Layer]]):
-        if isinstance(layers, Layer):
-            layers = [layers]
-        self._layers.extend(layers)
+    def add_layers(self, *layers: Union[Layer, Sequence[Layer]]):
+        """Append layers: a single Layer, a sequence, or several as varargs."""
+        for entry in layers:
+            if isinstance(entry, Layer):
+                self._layers.append(entry)
+            else:
+                self._layers.extend(entry)
         return self
 
     def set_features(self, names):
