@@ -16,6 +16,11 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compile cache: repeated bench runs (and the driver's per-round
+    # invocation) skip the multi-minute XLA compile of the unrolled solver
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hilo_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import __graft_entry__ as ge
 
     dev = jax.devices()[0]

@@ -37,7 +37,7 @@ _NLP_OPTION_KEYS = {
     "newton_iters", "max_iter", "tol", "mu_init", "warm_start", "print_level",
     "dt", "convexify", "n_linesearch", "early_exit", "u_pf_lb", "u_pf_ub",
     "ipopt_debugger", "parallel_riccati", "pallas_riccati", "mehrotra",
-    "riccati_unroll",
+    "riccati_unroll", "pallas_full", "pallas_tile",
     "const_cost_hessian",
     "mi_neighbors",
     "mi_max_enum",
@@ -372,19 +372,26 @@ class NMPC:
                 parts.append(h[None])
             return jnp.concatenate(parts)
 
+        def take_static(vec, idx):
+            # static scalar indexing instead of a constant-index gather: keeps
+            # the traced graph free of non-scalar index constants, which the
+            # whole-solve Pallas kernel (ops/pallas_ip.py) cannot capture
+            return jnp.stack([vec[int(i)] for i in np.asarray(idx)])
+
         def quad_terms_cost(terms, ref_offset, x, u, du, p, t, th_path, theta):
             cost = jnp.zeros((), x.dtype)
             off = ref_offset
             for term in terms:
                 if term.kind == "states":
-                    v = x[term.idx]
+                    v = take_static(x, term.idx)
                 elif term.kind == "inputs":
-                    v = u[term.idx]
+                    v = take_static(u, term.idx)
                 elif term.kind == "inputs_change":
-                    v = du[term.idx]
+                    v = take_static(du, term.idx)
                 elif term.kind == "measurements":
-                    v = jnp.atleast_1d(meas_fn(x, jnp.zeros(0, x.dtype), u, p, t)
-                                       )[term.idx]
+                    v = take_static(
+                        jnp.atleast_1d(meas_fn(x, jnp.zeros(0, x.dtype), u, p, t)),
+                        term.idx)
                 else:
                     raise ValueError(term.kind)
                 if term.path_following and term.path_fn is not None:
@@ -397,7 +404,14 @@ class NMPC:
                 else:
                     ref = jnp.zeros(term.n, x.dtype)
                 e = v - ref
-                cost = cost + e @ jnp.asarray(term.W, x.dtype) @ e
+                # unrolled eᵀWe with scalar W entries: no matrix constant and no
+                # dot_general in the trace — required by the whole-solve Pallas
+                # kernel, and XLA folds it to the same fused multiply-adds
+                Wnp = np.asarray(term.W, dtype=float)
+                for i in range(term.n):
+                    for j in range(term.n):
+                        if Wnp[i, j] != 0.0:
+                            cost = cost + float(Wnp[i, j]) * e[i] * e[j]
             return cost
 
         x_pen_ub = np.where(self._x_soft, self._x_ub, np.inf)
@@ -639,6 +653,12 @@ class NMPC:
             # by the batch, and the scan's extra flops lose 4-15x)
             parallel_riccati=options.get("parallel_riccati", False),
             pallas_riccati=options.get("pallas_riccati", False),
+            # whole-solve Pallas kernel for batched solves (ops/pallas_ip.py):
+            # the ENTIRE interior point (linearize/condense/Riccati/step) runs
+            # as one kernel, batch in lanes — engaged by solve_batch_fn when
+            # the problem shape qualifies (box-only constraints, pure Newton)
+            pallas_full=options.get("pallas_full", False),
+            pallas_tile=options.get("pallas_tile", 256),
             # ~30% fewer IP iterations at identical solutions (ignored by the
             # solver when equality constraints are present)
             mehrotra=options.get("mehrotra", True),
@@ -1174,9 +1194,27 @@ class NMPC:
         opts = self._ip_opts
         if warm:
             opts = _dc.replace(opts, mu_init=min(opts.mu_init, 1e-3))
+        bounds = self._bounds
+
+        if opts.pallas_full:
+            from ..ops.pallas_ip import (pallas_full_supported,
+                                         solve_ocp_pallas_full)
+            if pallas_full_supported(self._dims, bounds, opts, fix_x0=True):
+                funcs, dims = self._funcs, self._dims
+
+                def solve_many_pl(theta_B, xs0_B, X_B, U_B):
+                    return solve_ocp_pallas_full(
+                        funcs, dims, bounds, theta_B, xs0_B, X_B, U_B,
+                        options=opts, tile_b=opts.pallas_tile)
+
+                return jax.jit(solve_many_pl)
+            import warnings
+            warnings.warn("pallas_full requested but the problem shape is not "
+                          "kernel-eligible (needs box-only constraints, pure "
+                          "Newton steps, fix_x0); using the general XLA path")
+
         solver = partial(solve_ocp, self._funcs, self._dims,
                          options=opts, fix_x0=True)
-        bounds = self._bounds
 
         def solve_many(theta_B, xs0_B, X_B, U_B):
             return jax.vmap(lambda th, x0s, Xi, Ui: solver(bounds, th, x0s, Xi, Ui)

@@ -103,6 +103,12 @@ class IPOptions:
     # batched sweeps as ONE fused Pallas kernel (batch in lanes, stages
     # unrolled in VMEM); engages under vmap via custom_vmap, f32 only
     pallas_riccati: bool = False
+    # whole-SOLVE Pallas kernel (ops/pallas_ip.py): the full IP loop in one
+    # kernel launch, nothing between iterations touches HBM. Box-constrained
+    # pure-Newton problems only; engaged by batched entry points
+    # (NMPC.solve_batch_fn) when `pallas_full_supported` holds, f32 only
+    pallas_full: bool = False
+    pallas_tile: int = 256       # lanes per grid step of the whole-solve kernel
     mehrotra: bool = False       # predictor-corrector with adaptive centering
     # lax.scan unroll factor for the Riccati sweeps: unrolling lets XLA fuse
     # across stages and trims per-step loop overhead (measured on v5e: the

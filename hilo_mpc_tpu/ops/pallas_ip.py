@@ -1,0 +1,751 @@
+"""Whole-solve Pallas TPU kernel for the batched box-constrained NMPC interior point.
+
+`ops/ip_solver.solve_ocp` expresses one IP iteration as ~60 XLA ops; under `vmap`
+each of them round-trips its operands through HBM and the iteration is dispatch- and
+bandwidth-bound, not compute-bound (measured v5e, B=131k: ~180 ns/solve/iteration vs
+a ~5 ns arithmetic floor). This kernel runs the ENTIRE solve — dynamics linearization
+(AD inside the kernel), cost gradients/Hessians, barrier condensation, Riccati
+backward/forward sweep, fraction-to-boundary step, convergence test, barrier update —
+as ONE `pallas_call`: a tile of scenarios lives in lanes, every per-stage quantity is
+a `(1, tile_b)` lane vector in VMEM/registers, and nothing touches HBM between the
+initial read of (theta, x0, X_init, U_init) and the final write of the solution.
+Early exit is per tile: the in-kernel `while_loop` stops as soon as every lane in the
+tile converged.
+
+Supported problem class (the flagship NMPC shape — `pallas_full_supported` gates it,
+callers fall back to the general XLA path otherwise):
+  * box constraints only (no generic stage/terminal inequalities, no equalities),
+  * no pinned (equality-bounded) controls, fix_x0=True, shared bounds across the batch,
+  * pure Newton steps: mehrotra=False, n_linesearch<=1, convexify=False,
+  * f32 arithmetic (the TPU-native precision; the general path covers f64).
+
+Semantics mirror `_solve_ocp_impl` exactly (same init, same residuals, same barrier
+schedule, same masking), so converged solutions match the XLA path to f32 roundoff —
+`tests/test_pallas_ip.py` checks that, and the reference semantics chain through:
+this kernel ≡ solve_ocp ≡ IPOPT on the reference's NLP (reference:
+hilo_mpc/modules/controller/mpc.py:1778-1787 hands the same multiple-shooting NLP to
+IPOPT's C++ interior point; here the "solver binary" is a Mosaic kernel).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ip_solver import IPOptions, OCPBounds, OCPDims, OCPFunctions, OCPSolution
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class _Row(NamedTuple):
+    """One active box-constraint row: c = sgn * v[idx] + off <= 0."""
+    kind: str     # 'u' or 'x'
+    idx: int
+    sgn: float    # +1 for upper-bound rows, -1 for lower-bound rows
+    off: float    # -ub for upper rows, +lb for lower rows
+    full_col: int  # column in the full (2nu+2nx [+2nx terminal]) row layout
+
+
+def _stage_rows(bounds_np, dims: OCPDims, fix_x0: bool):
+    """Active stage rows per k, in `_stage_ineq_fn` order: [u-ub; lb-u; x-ub; lb-x]."""
+    lbx, ubx, lbu, ubu = bounds_np
+    nx, nu, N = dims.nx, dims.nu, dims.N
+    rows = []
+    for k in range(N):
+        rk = []
+        for j in range(nu):
+            if np.isfinite(ubu[k, j]):
+                rk.append(_Row('u', j, 1.0, -float(ubu[k, j]), j))
+        for j in range(nu):
+            if np.isfinite(lbu[k, j]):
+                rk.append(_Row('u', j, -1.0, float(lbu[k, j]), nu + j))
+        if not (fix_x0 and k == 0):
+            for i in range(nx):
+                if np.isfinite(ubx[k, i]):
+                    rk.append(_Row('x', i, 1.0, -float(ubx[k, i]), 2 * nu + i))
+            for i in range(nx):
+                if np.isfinite(lbx[k, i]):
+                    rk.append(_Row('x', i, -1.0, float(lbx[k, i]),
+                                   2 * nu + nx + i))
+        rows.append(rk)
+    term = []
+    for i in range(nx):
+        if np.isfinite(ubx[N, i]):
+            term.append(_Row('x', i, 1.0, -float(ubx[N, i]), i))
+    for i in range(nx):
+        if np.isfinite(lbx[N, i]):
+            term.append(_Row('x', i, -1.0, float(lbx[N, i]), nx + i))
+    return rows, term
+
+
+def pallas_full_supported(dims: OCPDims, bounds: OCPBounds, options: IPOptions,
+                          fix_x0: bool) -> bool:
+    """True iff the whole-solve kernel covers this problem configuration."""
+    if dims.n_h or dims.n_hN or dims.n_e or dims.n_eN:
+        return False
+    if not fix_x0:
+        return False
+    if options.mehrotra or options.convexify or options.n_linesearch > 1:
+        return False
+    if options.record_iterates or options.parallel_riccati:
+        return False
+    lbu = np.asarray(bounds.lbu, np.float64)
+    ubu = np.asarray(bounds.ubu, np.float64)
+    pinned = np.isfinite(lbu) & np.isfinite(ubu) & (ubu - lbu < 1e-9)
+    if pinned.any():
+        return False
+    return True
+
+
+def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
+                          theta_B, x0_B, X_B, U_B,
+                          options: IPOptions = IPOptions(),
+                          tile_b: int = 256,
+                          interpret: Optional[bool] = None) -> OCPSolution:
+    """Batched whole-solve kernel. Inputs: theta_B (B,N+1,nt), x0_B (B,nx),
+    X_B (B,N+1,nx), U_B (B,N,nu). Returns a batched OCPSolution (leading dim B)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, nu, N = dims.nx, dims.nu, dims.N
+    opt = options
+    f32 = jnp.float32
+    bounds_np = tuple(np.asarray(b, np.float64) for b in bounds)
+    rows_k, rows_t = _stage_rows(bounds_np, dims, fix_x0=True)
+    R_s = sum(len(r) for r in rows_k)
+    R_t = len(rows_t)
+    m_full = 2 * nu + 2 * nx
+    mN_full = 2 * nx
+    nt = int(theta_B.shape[-1])
+    B = int(theta_B.shape[0])
+    Bpad = _round_up(max(B, 1), tile_b)
+    TB = tile_b
+
+    # ---- carry row offsets -------------------------------------------------
+    o_X = 0
+    o_U = o_X + (N + 1) * nx
+    o_lam = o_U + N * nu
+    o_s = o_lam + N * nx
+    o_z = o_s + R_s
+    o_sN = o_z + R_s
+    o_zN = o_sN + R_t
+    o_mu = o_zN + R_t
+    o_kkt, o_it, o_conv, o_div = o_mu + 1, o_mu + 2, o_mu + 3, o_mu + 4
+    K_rows = o_mu + 5
+
+    s_off = []  # carry row of the first row of stage k's slack block
+    acc = 0
+    for k in range(N):
+        s_off.append(acc)
+        acc += len(rows_k[k])
+
+    # ---- per-lane model derivatives (vmapped over lanes inside the kernel) --
+    # Pallas kernels may not capture non-scalar constants (scaling vectors,
+    # weight matrices, reference values baked into the model/cost closures).
+    # `jax.closure_convert` hoists them out; `_scalarized` rebuilds each one
+    # INSIDE the kernel from Python scalars (scalar constants are allowed), so
+    # the kernel jaxpr is constant-free while the math is bit-identical.
+    def _rebuild_const(c):
+        c = np.asarray(c)
+        if c.dtype.kind in "iu":
+            raise NotImplementedError(
+                "integer array constant captured by a model/cost function — "
+                "use static Python-int indexing (see nmpc.take_static)")
+        flat = c.reshape(-1)
+        parts = [jnp.full((1,), float(v), f32) for v in flat]
+        arr = jnp.concatenate(parts).reshape(c.shape) if flat.size else \
+            jnp.zeros(c.shape, f32)
+        if c.dtype.kind == "b":
+            return arr > 0.5
+        return arr
+
+    def _scalarized(f, *example_args):
+        # jax.closure_convert only hoists tracer-perturbed consts; numpy-derived
+        # constants stay embedded in the jaxpr. Trace explicitly and replay the
+        # jaxpr with in-kernel rebuilt consts instead.
+        from jax import tree_util as jtu
+        closed, out_shape = jax.make_jaxpr(f, return_shape=True)(*example_args)
+        np_consts = [np.asarray(c) for c in closed.consts]
+        out_tree = jtu.tree_structure(out_shape)
+
+        def g(*args):
+            kc = [_rebuild_const(c) for c in np_consts]
+            flat_args = jtu.tree_leaves(args)
+            out_flat = jax.core.eval_jaxpr(closed.jaxpr, kc, *flat_args)
+            return jtu.tree_unflatten(out_tree, out_flat)
+
+        return g
+
+    x_ex = jnp.zeros((nx,), f32)
+    u_ex = jnp.zeros((nu,), f32)
+    th_ex = jnp.zeros((nt,), f32)
+
+    def dyn_lin_lane(x, u, th):
+        F, jvp = jax.linearize(lambda xx, uu: funcs.dyn(xx, uu, th), x, u)
+        dX = jnp.concatenate([jnp.eye(nx, dtype=x.dtype),
+                              jnp.zeros((nu, nx), x.dtype)], axis=0)
+        dU = jnp.concatenate([jnp.zeros((nx, nu), x.dtype),
+                              jnp.eye(nu, dtype=x.dtype)], axis=0)
+        J = jax.vmap(jvp)(dX, dU)
+        return F, J[:nx].T, J[nx:].T
+
+    def cost_gh_lane(x, u, th):
+        gx, gu = jax.grad(funcs.stage_cost, argnums=(0, 1))(x, u, th)
+        H = jax.hessian(funcs.stage_cost, argnums=(0, 1))(x, u, th)
+        return gx, gu, H[0][0], H[1][0], H[1][1]
+
+    def term_gh_lane(x, thN):
+        g = jax.grad(funcs.term_cost, argnums=0)(x, thN)
+        H = jax.hessian(funcs.term_cost, argnums=0)(x, thN)
+        return g, H
+
+    def cost_val_lane(x, u, th):
+        return funcs.stage_cost(x, u, th)
+
+    dyn_lin_v = jax.vmap(_scalarized(dyn_lin_lane, x_ex, u_ex, th_ex),
+                         in_axes=-1, out_axes=-1)
+    cost_gh_v = jax.vmap(_scalarized(cost_gh_lane, x_ex, u_ex, th_ex),
+                         in_axes=-1, out_axes=-1)
+    term_gh_v = jax.vmap(_scalarized(term_gh_lane, x_ex, th_ex),
+                         in_axes=-1, out_axes=-1)
+    cost_val_v = jax.vmap(_scalarized(cost_val_lane, x_ex, u_ex, th_ex),
+                          in_axes=-1, out_axes=-1)
+    term_val_v = jax.vmap(_scalarized(funcs.term_cost, x_ex, th_ex),
+                          in_axes=-1, out_axes=-1)
+
+    mu0 = float(opt.mu_init)
+    tol = float(opt.tol)
+    reg = float(opt.reg)
+    s_min = float(opt.s_min)
+    kappa_eps, kappa_mu, theta_mu = (float(opt.kappa_eps), float(opt.kappa_mu),
+                                     float(opt.theta_mu))
+    tau_min = float(opt.tau_min)
+    max_iter = int(opt.max_iter)
+    denom = float(N * nx + N * m_full + mN_full)
+
+    def kernel(valid_ref, th_ref, X0_ref, U0_ref,
+               X_out, U_out, lam_out, s_out, z_out, sNzN_out, misc_out):
+        valid = valid_ref[:]                                   # (1, TB)
+
+        def Cv(C, r):
+            return C[r:r + 1, :]
+
+        def Xv(C, k, i):
+            return Cv(C, o_X + k * nx + i)
+
+        def Uv(C, k, j):
+            return Cv(C, o_U + k * nu + j)
+
+        def lamv(C, k, i):
+            return Cv(C, o_lam + k * nx + i)
+
+        def sv(C, k, r):
+            return Cv(C, o_s + s_off[k] + r)
+
+        def zv(C, k, r):
+            return Cv(C, o_z + s_off[k] + r)
+
+        def c_rows_stage(C, k):
+            """Constraint values of stage k's active rows at the carry's point."""
+            vals = []
+            for row in rows_k[k]:
+                v = Uv(C, k, row.idx) if row.kind == 'u' else Xv(C, k, row.idx)
+                vals.append(row.sgn * v + row.off)
+            return vals
+
+        def c_rows_term(C):
+            return [row.sgn * Xv(C, N, row.idx) + row.off for row in rows_t]
+
+        # ---- initial carry (mirrors _solve_ocp_impl init) --------------------
+        rows0 = []
+        for k in range(N + 1):
+            for i in range(nx):
+                rows0.append(X0_ref[k, i:i + 1, :])
+        for k in range(N):
+            for j in range(nu):
+                rows0.append(U0_ref[k, j:j + 1, :])
+        zeros = jnp.zeros((1, TB), f32)
+        rows0 += [zeros] * (N * nx)                            # lam
+        # s/z init needs c0 at the initial point: build a temporary carry view
+        C_tmp = jnp.concatenate(
+            rows0 + [zeros] * (K_rows - len(rows0)), axis=0)
+        s0_rows, z0_rows = [], []
+        for k in range(N):
+            for cval in c_rows_stage(C_tmp, k):
+                s_i = jnp.maximum(jnp.abs(cval), s_min)
+                s0_rows.append(s_i)
+                z0_rows.append(mu0 / s_i)
+        sN0_rows, zN0_rows = [], []
+        for cval in c_rows_term(C_tmp):
+            s_i = jnp.maximum(jnp.abs(cval), s_min)
+            sN0_rows.append(s_i)
+            zN0_rows.append(mu0 / s_i)
+        scal = [jnp.full((1, TB), mu0, f32),                   # mu
+                jnp.full((1, TB), 1e30, f32),                  # kkt
+                zeros,                                         # it
+                1.0 - valid,                                   # conv (pad lanes done)
+                zeros]                                         # div
+        C = jnp.concatenate(rows0 + s0_rows + z0_rows + sN0_rows + zN0_rows
+                            + scal, axis=0)
+
+        def linearize(C):
+            """F, A, B, gx, gu, Hxx, Hux, Huu per stage + terminal gN, HN —
+            lists of (1,TB) lane vectors, all computed on-chip via AD."""
+            F, A, Bm = [], [], []
+            gx, gu, Hxx, Hux, Huu = [], [], [], [], []
+            for k in range(N):
+                xk = C[o_X + k * nx:o_X + (k + 1) * nx, :]
+                uk = C[o_U + k * nu:o_U + (k + 1) * nu, :]
+                thk = th_ref[k]
+                Fk, Ak, Bk = dyn_lin_v(xk, uk, thk)
+                gxk, guk, Hxxk, Huxk, Huuk = cost_gh_v(xk, uk, thk)
+                F.append([Fk[i:i + 1, :] for i in range(nx)])
+                A.append([[Ak[i:i + 1, j, :] for j in range(nx)]
+                          for i in range(nx)])
+                Bm.append([[Bk[i:i + 1, j, :] for j in range(nu)]
+                           for i in range(nx)])
+                gx.append([gxk[i:i + 1, :] for i in range(nx)])
+                gu.append([guk[j:j + 1, :] for j in range(nu)])
+                Hxx.append([[Hxxk[i:i + 1, j, :] for j in range(nx)]
+                            for i in range(nx)])
+                Hux.append([[Huxk[i:i + 1, j, :] for j in range(nx)]
+                            for i in range(nu)])
+                Huu.append([[Huuk[i:i + 1, j, :] for j in range(nu)]
+                            for i in range(nu)])
+            xN = C[o_X + N * nx:o_X + (N + 1) * nx, :]
+            gNk, HNk = term_gh_v(xN, th_ref[N])
+            gN = [gNk[i:i + 1, :] for i in range(nx)]
+            HN = [[HNk[i:i + 1, j, :] for j in range(nx)] for i in range(nx)]
+            return F, A, Bm, gx, gu, Hxx, Hux, Huu, gN, HN
+
+        def body(C):
+            frozen = (Cv(C, o_conv) > 0.5) | (Cv(C, o_div) > 0.5) \
+                | (Cv(C, o_it) >= max_iter - 0.5)
+            mu = Cv(C, o_mu)
+
+            F, A, Bm, gx, gu, Hxx, Hux, Huu, gN, HN = linearize(C)
+
+            # ---- KKT errors at the current iterate --------------------------
+            c_all = [c_rows_stage(C, k) for k in range(N)]
+            cN_all = c_rows_term(C)
+            e_stat = jnp.zeros((1, TB), f32)
+            abs_mult = jnp.zeros((1, TB), f32)     # sum |lam| + |z| + |zN|
+            for k in range(N):
+                # r_u = gu + Bᵀ lam + Cuᵀ z
+                for j in range(nu):
+                    r = gu[k][j]
+                    for i in range(nx):
+                        r = r + Bm[k][i][j] * lamv(C, k, i)
+                    for ridx, row in enumerate(rows_k[k]):
+                        if row.kind == 'u' and row.idx == j:
+                            r = r + row.sgn * zv(C, k, ridx)
+                    e_stat = jnp.maximum(e_stat, jnp.abs(r))
+                # r_x (k >= 1): gx + Aᵀ lam - lam_{k-1} + Cxᵀ z
+                if k >= 1:
+                    for i in range(nx):
+                        r = gx[k][i] - lamv(C, k - 1, i)
+                        for l in range(nx):
+                            r = r + A[k][l][i] * lamv(C, k, l)
+                        for ridx, row in enumerate(rows_k[k]):
+                            if row.kind == 'x' and row.idx == i:
+                                r = r + row.sgn * zv(C, k, ridx)
+                        e_stat = jnp.maximum(e_stat, jnp.abs(r))
+                for i in range(nx):
+                    abs_mult = abs_mult + jnp.abs(lamv(C, k, i))
+                for ridx in range(len(rows_k[k])):
+                    abs_mult = abs_mult + jnp.abs(zv(C, k, ridx))
+            for i in range(nx):                     # r_xN
+                r = gN[i] - lamv(C, N - 1, i)
+                for ridx, row in enumerate(rows_t):
+                    if row.idx == i:
+                        r = r + row.sgn * Cv(C, o_zN + ridx)
+                e_stat = jnp.maximum(e_stat, jnp.abs(r))
+            for ridx in range(R_t):
+                abs_mult = abs_mult + jnp.abs(Cv(C, o_zN + ridx))
+            s_d = jnp.maximum(1.0, abs_mult / denom)
+            e_stat = e_stat / s_d
+
+            e_feas = jnp.zeros((1, TB), f32)
+            comp0 = jnp.zeros((1, TB), f32)
+            comp_mu = jnp.zeros((1, TB), f32)
+            for k in range(N):
+                for i in range(nx):                 # r_dyn
+                    e_feas = jnp.maximum(
+                        e_feas, jnp.abs(F[k][i] - Xv(C, k + 1, i)))
+                for ridx in range(len(rows_k[k])):
+                    s_i, z_i = sv(C, k, ridx), zv(C, k, ridx)
+                    e_feas = jnp.maximum(e_feas, jnp.abs(c_all[k][ridx] + s_i))
+                    sz = s_i * z_i
+                    comp0 = jnp.maximum(comp0, jnp.abs(sz))
+                    comp_mu = jnp.maximum(comp_mu, jnp.abs(sz - mu))
+            for ridx in range(R_t):
+                s_i, z_i = Cv(C, o_sN + ridx), Cv(C, o_zN + ridx)
+                e_feas = jnp.maximum(e_feas, jnp.abs(cN_all[ridx] + s_i))
+                sz = s_i * z_i
+                comp0 = jnp.maximum(comp0, jnp.abs(sz))
+                comp_mu = jnp.maximum(comp_mu, jnp.abs(sz - mu))
+            base = jnp.maximum(e_stat, e_feas)
+            err0 = jnp.maximum(base, comp0 / s_d)
+            err_mu = jnp.maximum(base, comp_mu / s_d)
+
+            converged = (err0 <= tol).astype(f32)
+            subdone = err_mu <= kappa_eps * mu
+            # mu**theta_mu via exp/log (mu > 0 always; plain pow may not lower)
+            mu_pow = jnp.exp(theta_mu * jnp.log(mu))
+            mu_new = jnp.where(
+                subdone,
+                jnp.maximum(tol / 10.0, jnp.minimum(kappa_mu * mu, mu_pow)),
+                mu)
+
+            # ---- barrier condensation (box rows are ±selectors) --------------
+            # Qb = Hxx + diag(sigma_x rows); Rb = Huu + diag(sigma_u rows)
+            Qb = [[[Hxx[k][i][j] for j in range(nx)] for i in range(nx)]
+                  for k in range(N)]
+            Rb = [[[Huu[k][i][j] for j in range(nu)] for i in range(nu)]
+                  for k in range(N)]
+            qb = [[gx[k][i] for i in range(nx)] for k in range(N)]
+            rb = [[gu[k][j] for j in range(nu)] for k in range(N)]
+            for k in range(N):
+                for ridx, row in enumerate(rows_k[k]):
+                    s_i, z_i = sv(C, k, ridx), zv(C, k, ridx)
+                    sigma = z_i / s_i
+                    r_in = c_all[k][ridx] + s_i
+                    zh = (mu_new + z_i * r_in) / s_i
+                    if row.kind == 'x':
+                        Qb[k][row.idx][row.idx] = Qb[k][row.idx][row.idx] + sigma
+                        qb[k][row.idx] = qb[k][row.idx] + row.sgn * zh
+                    else:
+                        Rb[k][row.idx][row.idx] = Rb[k][row.idx][row.idx] + sigma
+                        rb[k][row.idx] = rb[k][row.idx] + row.sgn * zh
+            Pt = [[HN[i][j] for j in range(nx)] for i in range(nx)]
+            pt = [gN[i] for i in range(nx)]
+            for ridx, row in enumerate(rows_t):
+                s_i, z_i = Cv(C, o_sN + ridx), Cv(C, o_zN + ridx)
+                r_in = cN_all[ridx] + s_i
+                Pt[row.idx][row.idx] = Pt[row.idx][row.idx] + z_i / s_i
+                pt[row.idx] = pt[row.idx] + row.sgn * (mu_new + z_i * r_in) / s_i
+
+            rdyn = [[F[k][i] - Xv(C, k + 1, i) for i in range(nx)]
+                    for k in range(N)]
+
+            # ---- Riccati backward sweep (unrolled, same math as
+            # pallas_kernels.riccati_lq_pallas) -------------------------------
+            P = Pt
+            p = pt
+            Ks, kffs, Pn, pn = [None] * N, [None] * N, [None] * N, [None] * N
+            for k in range(N - 1, -1, -1):
+                Ak, Bk = A[k], Bm[k]
+                ck = rdyn[k]
+                Pc_p = [sum(P[i][l] * ck[l] for l in range(nx)) + p[i]
+                        for i in range(nx)]
+                PA = [[sum(P[i][l] * Ak[l][j] for l in range(nx))
+                       for j in range(nx)] for i in range(nx)]
+                PB = [[sum(P[i][l] * Bk[l][j] for l in range(nx))
+                       for j in range(nu)] for i in range(nx)]
+                G = [[Rb[k][i][j] + sum(Bk[l][i] * PB[l][j] for l in range(nx))
+                      for j in range(nu)] for i in range(nu)]
+                G = [[0.5 * (G[i][j] + G[j][i]) + (reg if i == j else 0.0)
+                      for j in range(nu)] for i in range(nu)]
+                Huxk = [[Hux[k][i][j] + sum(Bk[l][i] * PA[l][j]
+                                            for l in range(nx))
+                         for j in range(nx)] for i in range(nu)]
+                g_u = [rb[k][i] + sum(Bk[l][i] * Pc_p[l] for l in range(nx))
+                       for i in range(nu)]
+                L = [[None] * nu for _ in range(nu)]
+                for i in range(nu):
+                    for j in range(i + 1):
+                        acc2 = G[i][j]
+                        for l in range(j):
+                            acc2 = acc2 - L[i][l] * L[j][l]
+                        L[i][j] = jnp.sqrt(acc2) if i == j else acc2 / L[j][j]
+                rhs = [Huxk[i] + [g_u[i]] for i in range(nu)]
+                ncol = nx + 1
+                Yc = [[None] * ncol for _ in range(nu)]
+                for i in range(nu):
+                    for mcol in range(ncol):
+                        acc2 = rhs[i][mcol]
+                        for l in range(i):
+                            acc2 = acc2 - L[i][l] * Yc[l][mcol]
+                        Yc[i][mcol] = acc2 / L[i][i]
+                Xc = [[None] * ncol for _ in range(nu)]
+                for i in range(nu - 1, -1, -1):
+                    for mcol in range(ncol):
+                        acc2 = Yc[i][mcol]
+                        for l in range(i + 1, nu):
+                            acc2 = acc2 - L[l][i] * Xc[l][mcol]
+                        Xc[i][mcol] = acc2 / L[i][i]
+                Kk = [[-Xc[i][j] for j in range(nx)] for i in range(nu)]
+                kffk = [-Xc[i][nx] for i in range(nu)]
+                Ks[k], kffs[k], Pn[k], pn[k] = Kk, kffk, P, p
+                P_new = [[Qb[k][i][j]
+                          + sum(Ak[l][i] * PA[l][j] for l in range(nx))
+                          + sum(Huxk[l][i] * Kk[l][j] for l in range(nu))
+                          for j in range(nx)] for i in range(nx)]
+                P = [[0.5 * (P_new[i][j] + P_new[j][i]) for j in range(nx)]
+                     for i in range(nx)]
+                p = [qb[k][i] + sum(Ak[l][i] * Pc_p[l] for l in range(nx))
+                     + sum(Huxk[l][i] * kffk[l] for l in range(nu))
+                     for i in range(nx)]
+
+            # ---- forward rollout --------------------------------------------
+            dX = [[jnp.zeros((1, TB), f32) for _ in range(nx)]]   # dx0 = 0
+            dU, lam_new = [], []
+            for k in range(N):
+                dx = dX[k]
+                du = [sum(Ks[k][i][j] * dx[j] for j in range(nx)) + kffs[k][i]
+                      for i in range(nu)]
+                dx_n = [sum(A[k][i][j] * dx[j] for j in range(nx))
+                        + sum(Bm[k][i][j] * du[j] for j in range(nu))
+                        + rdyn[k][i] for i in range(nx)]
+                lam_k = [sum(Pn[k][i][j] * dx_n[j] for j in range(nx)) + pn[k][i]
+                         for i in range(nx)]
+                dU.append(du)
+                dX.append(dx_n)
+                lam_new.append(lam_k)
+
+            # ---- slack/dual directions + fraction-to-boundary ----------------
+            tau = jnp.maximum(tau_min, 1.0 - mu_new)
+            a_s = jnp.ones((1, TB), f32)
+            a_z = jnp.ones((1, TB), f32)
+            ds_all, dz_all = [], []
+            for k in range(N):
+                ds_k, dz_k = [], []
+                for ridx, row in enumerate(rows_k[k]):
+                    dC = row.sgn * (dU[k][row.idx] if row.kind == 'u'
+                                    else dX[k][row.idx])
+                    s_i, z_i = sv(C, k, ridx), zv(C, k, ridx)
+                    r_in = c_all[k][ridx] + s_i
+                    ds_i = -r_in - dC
+                    dz_i = (mu_new - s_i * z_i - z_i * ds_i) / s_i
+                    ds_k.append(ds_i)
+                    dz_k.append(dz_i)
+                    a_s = jnp.minimum(a_s, jnp.where(
+                        ds_i < 0, -tau * s_i / jnp.minimum(ds_i, -1e-30), 1.0))
+                    a_z = jnp.minimum(a_z, jnp.where(
+                        dz_i < 0, -tau * z_i / jnp.minimum(dz_i, -1e-30), 1.0))
+                ds_all.append(ds_k)
+                dz_all.append(dz_k)
+            dsN_all, dzN_all = [], []
+            for ridx, row in enumerate(rows_t):
+                dC = row.sgn * dX[N][row.idx]
+                s_i, z_i = Cv(C, o_sN + ridx), Cv(C, o_zN + ridx)
+                r_in = cN_all[ridx] + s_i
+                ds_i = -r_in - dC
+                dz_i = (mu_new - s_i * z_i - z_i * ds_i) / s_i
+                dsN_all.append(ds_i)
+                dzN_all.append(dz_i)
+                a_s = jnp.minimum(a_s, jnp.where(
+                    ds_i < 0, -tau * s_i / jnp.minimum(ds_i, -1e-30), 1.0))
+                a_z = jnp.minimum(a_z, jnp.where(
+                    dz_i < 0, -tau * z_i / jnp.minimum(dz_i, -1e-30), 1.0))
+            alpha = a_s
+
+            # ---- updates + guards --------------------------------------------
+            finite = jnp.ones((1, TB), f32)
+            X_rows_new, U_rows_new = [], []
+            for k in range(N + 1):
+                for i in range(nx):
+                    v = Xv(C, k, i) + (alpha * dX[k][i] if k > 0
+                                       else jnp.zeros((1, TB), f32))
+                    X_rows_new.append(v)
+                    finite = finite * jnp.isfinite(v).astype(f32)
+            for k in range(N):
+                for j in range(nu):
+                    v = Uv(C, k, j) + alpha * dU[k][j]
+                    U_rows_new.append(v)
+                    finite = finite * jnp.isfinite(v).astype(f32)
+            kap = 1e10
+            s_rows_new, z_rows_new = [], []
+            for k in range(N):
+                for ridx in range(len(rows_k[k])):
+                    s_i = jnp.maximum(sv(C, k, ridx) + alpha * ds_all[k][ridx],
+                                      1e-30)
+                    z_i = jnp.maximum(zv(C, k, ridx) + a_z * dz_all[k][ridx],
+                                      1e-30)
+                    z_i = jnp.clip(z_i, mu_new / (kap * s_i), kap * mu_new / s_i)
+                    finite = finite * jnp.isfinite(z_i).astype(f32)
+                    s_rows_new.append(s_i)
+                    z_rows_new.append(z_i)
+            sN_rows_new, zN_rows_new = [], []
+            for ridx in range(R_t):
+                s_i = jnp.maximum(Cv(C, o_sN + ridx) + alpha * dsN_all[ridx],
+                                  1e-30)
+                z_i = jnp.maximum(Cv(C, o_zN + ridx) + a_z * dzN_all[ridx],
+                                  1e-30)
+                z_i = jnp.clip(z_i, mu_new / (kap * s_i), kap * mu_new / s_i)
+                finite = finite * jnp.isfinite(z_i).astype(f32)
+                sN_rows_new.append(s_i)
+                zN_rows_new.append(z_i)
+            bad = 1.0 - finite
+
+            # keep current point when converged or the step went non-finite;
+            # frozen lanes (done in an earlier iteration) keep everything
+            keep = jnp.maximum(converged, bad)
+            upd = (1.0 - frozen.astype(f32)) * (1.0 - keep)
+
+            def mix(old, new):
+                return old + upd * (new - old)
+
+            out_rows = []
+            r = 0
+            for k in range(N + 1):
+                for i in range(nx):
+                    out_rows.append(mix(Xv(C, k, i), X_rows_new[r]))
+                    r += 1
+            r = 0
+            for k in range(N):
+                for j in range(nu):
+                    out_rows.append(mix(Uv(C, k, j), U_rows_new[r]))
+                    r += 1
+            for k in range(N):
+                for i in range(nx):
+                    out_rows.append(mix(lamv(C, k, i), lam_new[k][i]))
+            r = 0
+            for k in range(N):
+                for ridx in range(len(rows_k[k])):
+                    out_rows.append(mix(sv(C, k, ridx), s_rows_new[r]))
+                    r += 1
+            r = 0
+            for k in range(N):
+                for ridx in range(len(rows_k[k])):
+                    out_rows.append(mix(zv(C, k, ridx), z_rows_new[r]))
+                    r += 1
+            for ridx in range(R_t):
+                out_rows.append(mix(Cv(C, o_sN + ridx), sN_rows_new[ridx]))
+            for ridx in range(R_t):
+                out_rows.append(mix(Cv(C, o_zN + ridx), zN_rows_new[ridx]))
+            nf = 1.0 - frozen.astype(f32)
+            out_rows.append(Cv(C, o_mu) + nf * (mu_new - Cv(C, o_mu)))
+            out_rows.append(Cv(C, o_kkt) + nf * (err0 - Cv(C, o_kkt)))
+            out_rows.append(Cv(C, o_it) + nf)
+            out_rows.append(Cv(C, o_conv) + nf * (converged - Cv(C, o_conv)))
+            div_new = jnp.maximum(Cv(C, o_div), nf * bad)
+            out_rows.append(div_new)
+            return jnp.concatenate(out_rows, axis=0)
+
+        def cond(C):
+            active = ((Cv(C, o_conv) < 0.5) & (Cv(C, o_div) < 0.5)
+                      & (Cv(C, o_it) < max_iter - 0.5))
+            return jnp.any(active)
+
+        C = jax.lax.while_loop(cond, body, C)
+
+        # ---- objective at the final point + outputs --------------------------
+        obj = jnp.zeros((1, TB), f32)
+        for k in range(N):
+            xk = C[o_X + k * nx:o_X + (k + 1) * nx, :]
+            uk = C[o_U + k * nu:o_U + (k + 1) * nu, :]
+            obj = obj + cost_val_v(xk, uk, th_ref[k])[None, :]
+        xN = C[o_X + N * nx:o_X + (N + 1) * nx, :]
+        obj = obj + term_val_v(xN, th_ref[N])[None, :]
+
+        for k in range(N + 1):
+            for i in range(nx):
+                X_out[k, i, :] = Xv(C, k, i)[0]
+        for k in range(N):
+            for j in range(nu):
+                U_out[k, j, :] = Uv(C, k, j)[0]
+            for i in range(nx):
+                lam_out[k, i, :] = lamv(C, k, i)[0]
+        for r in range(max(R_s, 1)):
+            s_out[r, :] = C[o_s + r, :] if R_s else jnp.ones(TB, f32)
+            z_out[r, :] = C[o_z + r, :] if R_s else jnp.ones(TB, f32)
+        for r in range(max(R_t, 1)):
+            sNzN_out[r, :] = C[o_sN + r, :] if R_t else jnp.ones(TB, f32)
+            sNzN_out[max(R_t, 1) + r, :] = (C[o_zN + r, :] if R_t
+                                            else jnp.ones(TB, f32))
+        misc_out[0, :] = Cv(C, o_mu)[0]
+        misc_out[1, :] = Cv(C, o_kkt)[0]
+        misc_out[2, :] = obj[0]
+        misc_out[3, :] = Cv(C, o_it)[0]
+        misc_out[4, :] = Cv(C, o_conv)[0]
+        misc_out[5, :] = Cv(C, o_div)[0]
+
+    # ---- host-side packing ---------------------------------------------------
+    def to_feat(x, n_lead, nfeat):
+        x = jnp.asarray(x, f32).reshape(B, n_lead, nfeat)
+        x = jnp.moveaxis(x, 0, -1)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Bpad - B)))
+
+    X_B = jnp.asarray(X_B, f32).at[:, 0, :].set(jnp.asarray(x0_B, f32))
+    th_f = to_feat(theta_B, N + 1, nt)
+    X_f = to_feat(X_B, N + 1, nx)
+    U_f = to_feat(U_B, N, nu)
+    valid = (jnp.arange(Bpad) < B).astype(f32)[None, :]
+
+    grid = (Bpad // TB,)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def spec3(n_lead, nfeat):
+        return pl.BlockSpec((n_lead, nfeat, TB), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((N + 1, nx, Bpad), f32),
+        jax.ShapeDtypeStruct((N, nu, Bpad), f32),
+        jax.ShapeDtypeStruct((N, nx, Bpad), f32),
+        jax.ShapeDtypeStruct((max(R_s, 1), Bpad), f32),
+        jax.ShapeDtypeStruct((max(R_s, 1), Bpad), f32),
+        jax.ShapeDtypeStruct((2 * max(R_t, 1), Bpad), f32),
+        jax.ShapeDtypeStruct((6, Bpad), f32),
+    )
+
+    def spec2(nr):
+        return pl.BlockSpec((nr, TB), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    X_o, U_o, lam_o, s_o, z_o, sNzN_o, misc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec2(1), spec3(N + 1, nt), spec3(N + 1, nx), spec3(N, nu)],
+        out_specs=(spec3(N + 1, nx), spec3(N, nu), spec3(N, nx),
+                   spec2(max(R_s, 1)), spec2(max(R_s, 1)),
+                   spec2(2 * max(R_t, 1)), spec2(6)),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(valid, th_f, X_f, U_f)
+
+    def back(x, shape):
+        return jnp.moveaxis(x, -1, 0)[:B].reshape(shape)
+
+    X = back(X_o, (B, N + 1, nx))
+    U = back(U_o, (B, N, nu))
+    lam = back(lam_o, (B, N, nx))
+    # scatter active rows back into the full (N, m) layout; masked rows are 1.0
+    # (the XLA path pins them to 1.0 each iteration)
+    s_full = jnp.ones((B, N, m_full), f32)
+    z_full = jnp.ones((B, N, m_full), f32)
+    if R_s:
+        k_idx = np.concatenate([np.full(len(rows_k[k]), k, np.int32)
+                                for k in range(N)])
+        c_idx = np.concatenate([np.array([r.full_col for r in rows_k[k]],
+                                         np.int32) for k in range(N)])
+        s_rows = jnp.moveaxis(s_o, -1, 0)[:B]       # (B, R_s)
+        z_rows = jnp.moveaxis(z_o, -1, 0)[:B]
+        s_full = s_full.at[:, k_idx, c_idx].set(s_rows)
+        z_full = z_full.at[:, k_idx, c_idx].set(z_rows)
+    sN_full = jnp.ones((B, mN_full), f32)
+    zN_full = jnp.ones((B, mN_full), f32)
+    if R_t:
+        cN_idx = np.array([r.full_col for r in rows_t], np.int32)
+        rt = max(R_t, 1)
+        sN_rows = jnp.moveaxis(sNzN_o[:R_t], -1, 0)[:B]
+        zN_rows = jnp.moveaxis(sNzN_o[rt:rt + R_t], -1, 0)[:B]
+        sN_full = sN_full.at[:, cN_idx].set(sN_rows)
+        zN_full = zN_full.at[:, cN_idx].set(zN_rows)
+    misc_b = jnp.moveaxis(misc, -1, 0)[:B]          # (B, 6)
+    conv = misc_b[:, 4] > 0.5
+    div = misc_b[:, 5] > 0.5
+    status = jnp.where(conv, 0, jnp.where(div, 2, 1)).astype(jnp.int32)
+    return OCPSolution(
+        X=X, U=U, lam=lam, s=s_full, z=z_full, sN=sN_full, zN=zN_full,
+        mu=misc_b[:, 0], kkt_error=misc_b[:, 1], objective=misc_b[:, 2],
+        iterations=misc_b[:, 3].astype(jnp.int32), converged=conv,
+        status=status)
