@@ -186,24 +186,44 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
     u_ex = jnp.zeros((nu,), f32)
     th_ex = jnp.zeros((nt,), f32)
 
+    # Derivatives are taken with Python loops over basis directions (jvp per
+    # column) instead of jacfwd/hessian, and every output is a FLAT TUPLE of
+    # (nx,)/(nu,)/scalar leaves: under the lane-vmap each leaf batches to
+    # (k, lanes) with the batch dim trailing. Inner basis-vmaps or transposes
+    # would create (lanes, k1, k2)-shaped intermediates whose trailing dims
+    # Mosaic pads to full (8,128) tiles — measured 41 MB of scoped VMEM for a
+    # single linearization, and pathological compile times.
+    def _basis(n, i, dt):
+        return jnp.zeros((n,), dt).at[i].set(1.0)
+
     def dyn_lin_lane(x, u, th):
         F, jvp = jax.linearize(lambda xx, uu: funcs.dyn(xx, uu, th), x, u)
-        dX = jnp.concatenate([jnp.eye(nx, dtype=x.dtype),
-                              jnp.zeros((nu, nx), x.dtype)], axis=0)
-        dU = jnp.concatenate([jnp.zeros((nx, nu), x.dtype),
-                              jnp.eye(nu, dtype=x.dtype)], axis=0)
-        J = jax.vmap(jvp)(dX, dU)
-        return F, J[:nx].T, J[nx:].T
+        zx, zu = jnp.zeros_like(x), jnp.zeros_like(u)
+        colsA = tuple(jvp(_basis(nx, j, x.dtype), zu) for j in range(nx))
+        colsB = tuple(jvp(zx, _basis(nu, j, x.dtype)) for j in range(nu))
+        return (F,) + colsA + colsB     # each leaf (nx,): F, A[:,j], B[:,j]
 
     def cost_gh_lane(x, u, th):
-        gx, gu = jax.grad(funcs.stage_cost, argnums=(0, 1))(x, u, th)
-        H = jax.hessian(funcs.stage_cost, argnums=(0, 1))(x, u, th)
-        return gx, gu, H[0][0], H[1][0], H[1][1]
+        grad_fn = jax.grad(funcs.stage_cost, argnums=(0, 1))
+        (gx, gu), dgrad = jax.linearize(
+            lambda xx, uu: grad_fn(xx, uu, th), x, u)
+        zx, zu = jnp.zeros_like(x), jnp.zeros_like(u)
+        # Hessian columns: (Hxx[:,j], Hux[:,j]) for x-basis, (Hxu[:,j]=Hux[j,:],
+        # Huu[:,j]) for u-basis
+        colsx = tuple(dgrad(_basis(nx, j, x.dtype), zu) for j in range(nx))
+        colsu = tuple(dgrad(zx, _basis(nu, j, x.dtype)) for j in range(nu))
+        flat = (gx, gu)
+        for cx, cu in colsx:
+            flat += (cx, cu)
+        for cx, cu in colsu:
+            flat += (cx, cu)
+        return flat
 
     def term_gh_lane(x, thN):
-        g = jax.grad(funcs.term_cost, argnums=0)(x, thN)
-        H = jax.hessian(funcs.term_cost, argnums=0)(x, thN)
-        return g, H
+        grad_fn = jax.grad(funcs.term_cost, argnums=0)
+        g, dgrad = jax.linearize(lambda xx: grad_fn(xx, thN), x)
+        cols = tuple(dgrad(_basis(nx, j, x.dtype)) for j in range(nx))
+        return (g,) + cols
 
     def cost_val_lane(x, u, th):
         return funcs.stage_cost(x, u, th)
@@ -296,32 +316,38 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
 
         def linearize(C):
             """F, A, B, gx, gu, Hxx, Hux, Huu per stage + terminal gN, HN —
-            lists of (1,TB) lane vectors, all computed on-chip via AD."""
+            lists of (1,TB) lane vectors, all computed on-chip via AD.
+            The lane helpers return FLAT TUPLES of (dim,TB) column leaves
+            (see comment above dyn_lin_lane); unpack them here."""
             F, A, Bm = [], [], []
             gx, gu, Hxx, Hux, Huu = [], [], [], [], []
             for k in range(N):
                 xk = C[o_X + k * nx:o_X + (k + 1) * nx, :]
                 uk = C[o_U + k * nu:o_U + (k + 1) * nu, :]
                 thk = th_ref[k]
-                Fk, Ak, Bk = dyn_lin_v(xk, uk, thk)
-                gxk, guk, Hxxk, Huxk, Huuk = cost_gh_v(xk, uk, thk)
+                d = dyn_lin_v(xk, uk, thk)
+                Fk, Acols, Bcols = d[0], d[1:1 + nx], d[1 + nx:1 + nx + nu]
+                c = cost_gh_v(xk, uk, thk)
+                gxk, guk = c[0], c[1]
+                # x-basis column j: c[2+2j] = Hxx[:,j], c[3+2j] = Hux[:,j];
+                # u-basis column j: c[3+2nx+2j] = Huu[:,j]
                 F.append([Fk[i:i + 1, :] for i in range(nx)])
-                A.append([[Ak[i:i + 1, j, :] for j in range(nx)]
+                A.append([[Acols[j][i:i + 1, :] for j in range(nx)]
                           for i in range(nx)])
-                Bm.append([[Bk[i:i + 1, j, :] for j in range(nu)]
+                Bm.append([[Bcols[j][i:i + 1, :] for j in range(nu)]
                            for i in range(nx)])
                 gx.append([gxk[i:i + 1, :] for i in range(nx)])
                 gu.append([guk[j:j + 1, :] for j in range(nu)])
-                Hxx.append([[Hxxk[i:i + 1, j, :] for j in range(nx)]
+                Hxx.append([[c[2 + 2 * j][i:i + 1, :] for j in range(nx)]
                             for i in range(nx)])
-                Hux.append([[Huxk[i:i + 1, j, :] for j in range(nx)]
+                Hux.append([[c[3 + 2 * j][i:i + 1, :] for j in range(nx)]
                             for i in range(nu)])
-                Huu.append([[Huuk[i:i + 1, j, :] for j in range(nu)]
-                            for i in range(nu)])
+                Huu.append([[c[3 + 2 * nx + 2 * j][i:i + 1, :]
+                             for j in range(nu)] for i in range(nu)])
             xN = C[o_X + N * nx:o_X + (N + 1) * nx, :]
-            gNk, HNk = term_gh_v(xN, th_ref[N])
-            gN = [gNk[i:i + 1, :] for i in range(nx)]
-            HN = [[HNk[i:i + 1, j, :] for j in range(nx)] for i in range(nx)]
+            t = term_gh_v(xN, th_ref[N])
+            gN = [t[0][i:i + 1, :] for i in range(nx)]
+            HN = [[t[1 + j][i:i + 1, :] for j in range(nx)] for i in range(nx)]
             return F, A, Bm, gx, gu, Hxx, Hux, Huu, gN, HN
 
         def body(C):
