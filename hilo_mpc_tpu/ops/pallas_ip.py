@@ -194,7 +194,10 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
     # Mosaic pads to full (8,128) tiles — measured 41 MB of scoped VMEM for a
     # single linearization, and pathological compile times.
     def _basis(n, i, dt):
-        return jnp.zeros((n,), dt).at[i].set(1.0)
+        # i is a Python int; .at[i].set would emit a scatter primitive, which
+        # Mosaic cannot lower — assemble the one-hot from scalar pieces instead
+        return jnp.concatenate(
+            [jnp.full((1,), 1.0 if j == i else 0.0, dt) for j in range(n)])
 
     def dyn_lin_lane(x, u, th):
         F, jvp = jax.linearize(lambda xx, uu: funcs.dyn(xx, uu, th), x, u)
