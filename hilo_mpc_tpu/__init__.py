@@ -60,6 +60,7 @@ _LAZY = {
     "LinearKernel": ("hilo_mpc_tpu.ml.gp.kernels", "LinearKernel"),
     "NeuralNetworkKernel": ("hilo_mpc_tpu.ml.gp.kernels", "NeuralNetworkKernel"),
     "PeriodicKernel": ("hilo_mpc_tpu.ml.gp.kernels", "PeriodicKernel"),
+    "Warp": ("hilo_mpc_tpu.ml.gp.kernels", "Warp"),
     # optimization
     "LinearProgram": ("hilo_mpc_tpu.ops.programs", "LinearProgram"),
     "LP": ("hilo_mpc_tpu.ops.programs", "LinearProgram"),

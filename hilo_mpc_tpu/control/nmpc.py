@@ -1144,6 +1144,61 @@ class NMPC:
     def return_prediction(self):
         return self.last_prediction
 
+    def plot_prediction(self, save_plot=False, plot_dir=None,
+                        name_file="mpc_prediction.png", show_plot=False,
+                        extras=None, extras_names=None, title=None):
+        """Plot the MPC's predicted state/input trajectories from the last
+        solve (reference: plot_prediction, mpc.py:868-1024 — bokeh there;
+        matplotlib here, same extras-overlay contract: ``extras`` maps
+        state/input names to arrays plotted over the prediction)."""
+        if self.last_prediction is None:
+            raise RuntimeError("call optimize() before plot_prediction()")
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        pred = self.last_prediction
+        x_names = list(self._model.dynamical_states)
+        u_names = list(self._model.inputs)
+        t = np.asarray(pred["t"])
+        n_panels = len(x_names) + len(u_names)
+        fig, axes = plt.subplots(n_panels, 1, figsize=(8, 2.2 * n_panels),
+                                 sharex=True, squeeze=False)
+        axes = axes.ravel()
+        extras = extras or {}
+        extras_names = extras_names or [f"extra {i}" for i in range(len(extras))]
+        for i, nm in enumerate(x_names):
+            axes[i].plot(t, np.asarray(pred["x"])[:, i], "-o", ms=3,
+                         label="prediction")
+            if nm in extras:
+                e = np.asarray(extras[nm]).ravel()
+                axes[i].plot(t[:e.size], e, "--",
+                             label=extras_names[list(extras).index(nm)])
+            axes[i].set_ylabel(nm)
+            axes[i].legend(loc="best", fontsize=8)
+        for j, nm in enumerate(u_names):
+            ax = axes[len(x_names) + j]
+            u = np.asarray(pred["u"])[:, j]
+            ax.step(t[:u.size], u, where="post", label="prediction")
+            if nm in extras:
+                e = np.asarray(extras[nm]).ravel()
+                ax.step(t[:e.size], e, "--", where="post",
+                        label=extras_names[list(extras).index(nm)])
+            ax.set_ylabel(nm)
+            ax.legend(loc="best", fontsize=8)
+        axes[-1].set_xlabel(f"time [{self._model.time_unit}]")
+        if title:
+            fig.suptitle(title)
+        fig.tight_layout()
+        if save_plot:
+            import os
+            path = (os.path.join(plot_dir, name_file) if plot_dir
+                    else name_file)
+            fig.savefig(path, dpi=120)
+        if show_plot:  # pragma: no cover - interactive
+            plt.show()
+        return fig
+
     def plot_iterations(self, save_as=None, show=False):
         """Visualize the recorded IP iterate history (reference: plot_iterations,
         optimizer.py:1562 + IpoptDebugger). Requires

@@ -15,6 +15,62 @@ from .core.model import Model
 from .core.series import TimeSeries
 
 
+class _LiveLoopPlot:
+    """Incremental closed-loop figure, redrawn after every step.
+
+    Matplotlib analogue of the reference's live animation
+    (reference: control_loop.py:202-285 — bokeh periodic-callback server /
+    mpl animation). One panel per plant state/input; lines are updated in
+    place and the canvas flushed with a short ``plt.pause`` so the figure
+    animates in interactive backends and is a no-op-safe redraw under Agg.
+    """
+
+    def __init__(self, solution, pause: float = 1e-3):
+        from .utils.plotting import get_plot_backend
+
+        if get_plot_backend() == "bokeh":
+            import bokeh  # noqa: F401  (gated: raises if not installed)
+        import matplotlib.pyplot as plt
+
+        self._plt = plt
+        self._solution = solution
+        self._pause = pause
+        panels = [("x", nm, i) for i, nm in enumerate(solution.names("x"))]
+        panels += [("u", nm, i) for i, nm in enumerate(solution.names("u"))]
+        self._panels = panels
+        was_interactive = plt.isinteractive()
+        plt.ion()
+        self._was_interactive = was_interactive
+        self.fig, axes = plt.subplots(len(panels), 1, sharex=True,
+                                      figsize=(8, 2.0 * len(panels)),
+                                      squeeze=False)
+        self._axes = axes.ravel()
+        self._lines = []
+        for ax, (kind, nm, _) in zip(self._axes, panels):
+            style = dict(drawstyle="steps-post") if kind == "u" else {}
+            (line,) = ax.plot([], [], "-o", ms=3, **style)
+            ax.set_ylabel(nm)
+            self._lines.append(line)
+        self._axes[-1].set_xlabel("t")
+        self.n_draws = 0
+
+    def update(self):
+        t = np.asarray(self._solution["t"]).ravel()
+        for line, ax, (kind, nm, i) in zip(self._lines, self._axes,
+                                           self._panels):
+            ys = np.asarray(self._solution[kind])[i]
+            line.set_data(t[: ys.size], ys)
+            ax.relim()
+            ax.autoscale_view()
+        self.fig.canvas.draw_idle()
+        self._plt.pause(self._pause)
+        self.n_draws += 1
+
+    def finish(self):
+        if not self._was_interactive:
+            self._plt.ioff()
+
+
 class SimpleControlLoop:
     def __init__(self, plant: Model, controller, observer=None):
         if not plant.is_setup():
@@ -58,11 +114,17 @@ class SimpleControlLoop:
     def run(self, steps: int, p=None, live_plot: bool = False, **kwargs):
         """Run the closed loop. Extra kwargs (e.g. ref_sc / ref_tc setpoint
         dicts) are forwarded to the controller's optimize call each step, like
-        the reference (control_loop.py:366,399)."""
+        the reference (control_loop.py:366,399).
+
+        ``live_plot=True`` updates a matplotlib figure after every step
+        (reference: live bokeh-server / matplotlib animation,
+        control_loop.py:202-285); with the 'bokeh' plot backend selected it
+        raises the plugin gate's ImportError when bokeh is unavailable."""
         plant = self._plant
         if plant.solution is None or plant.solution.n_samples == 0:
             raise RuntimeError("set plant initial conditions first "
                                "(plant.set_initial_conditions(x0))")
+        plotter = _LiveLoopPlot(self.solution) if live_plot else None
         x0 = plant.solution["x:f"]
         for k in range(steps):
             u = self._control(x0, k, **kwargs)
@@ -77,6 +139,10 @@ class SimpleControlLoop:
             else:
                 x0 = x_true
             self.solution.append(plant.solution["t"][-1], x=x_true, u=u, y=y)
+            if plotter is not None:
+                plotter.update()
+        if plotter is not None:
+            plotter.finish()
         return self.solution
 
     def plot(self, **kwargs):

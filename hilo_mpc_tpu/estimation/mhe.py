@@ -347,10 +347,18 @@ class MovingHorizonEstimator(Estimator):
         return x_est, sol
 
     # -- solve -----------------------------------------------------------------
-    def estimate(self, y=None, u=None, p=None):
+    def estimate(self, y=None, u=None, p=None, runs: int = 1,
+                 pert_factor: float = 0.1, seed: int = 0):
         """Add an optional new measurement, then solve the window problem.
         Returns the current state estimate (and parameter estimates if any), or
-        None while the window is still filling."""
+        None while the window is still filling.
+
+        ``runs > 1`` enables multi-start (reference: the ``runs`` kwarg with
+        multiplicatively perturbed initial guesses, mhe.py:386-399): instead of
+        the reference's sequential re-solve loop, all perturbed window guesses
+        are solved in ONE vmapped jit and the best converged objective wins —
+        the TPU-native form of restart-based robustification. ``pert_factor``
+        scales the relative perturbation like the reference's kwarg."""
         if not self._setup_done:
             raise RuntimeError("call setup() first")
         if y is not None:
@@ -402,10 +410,39 @@ class MovingHorizonEstimator(Estimator):
         else:
             X_init = np.tile(xs0[None, :], (N + 1, 1))
             U_init = np.zeros((N, nx))
-        sol = self._solve_jit(self._bounds, jnp.asarray(theta, dtype),
-                              jnp.asarray(xs0, dtype),
-                              jnp.asarray(X_init, dtype),
-                              jnp.asarray(U_init, dtype))
+        if runs > 1:
+            # multi-start: perturb the state-trajectory guess multiplicatively
+            # (plus an absolute floor so zero guesses still move) and the noise
+            # guess additively; solve all runs in one vmapped jit
+            rng = np.random.default_rng(seed)
+            scale = np.abs(X_init) + 1.0
+            X_pert = np.tile(X_init[None], (runs, 1, 1))
+            U_pert = np.tile(U_init[None], (runs, 1, 1))
+            X_pert[1:] += (pert_factor * scale[None]
+                           * (1.0 - 2.0 * rng.random((runs - 1,) + X_init.shape)))
+            U_pert[1:] += (pert_factor
+                           * (1.0 - 2.0 * rng.random((runs - 1,) + U_init.shape)))
+            if getattr(self, "_solve_batch_jit", None) is None:
+                solver = partial(solve_ocp, self._funcs, self._dims,
+                                 options=self._ip_opts, fix_x0=False)
+                bounds = self._bounds
+                self._solve_batch_jit = jax.jit(jax.vmap(
+                    lambda th, x0s, Xi, Ui: solver(bounds, th, x0s, Xi, Ui)))
+            sols = self._solve_batch_jit(
+                jnp.tile(jnp.asarray(theta, dtype)[None], (runs, 1, 1)),
+                jnp.tile(jnp.asarray(xs0, dtype)[None], (runs, 1)),
+                jnp.asarray(X_pert, dtype), jnp.asarray(U_pert, dtype))
+            # best converged objective; unconverged runs are penalized, run 0
+            # (the unperturbed warm guess) wins ties
+            score = np.where(np.asarray(sols.converged),
+                             np.asarray(sols.objective), np.inf)
+            best = int(np.argmin(score)) if np.isfinite(score).any() else 0
+            sol = jax.tree_util.tree_map(lambda a: a[best], sols)
+        else:
+            sol = self._solve_jit(self._bounds, jnp.asarray(theta, dtype),
+                                  jnp.asarray(xs0, dtype),
+                                  jnp.asarray(X_init, dtype),
+                                  jnp.asarray(U_init, dtype))
         X = np.asarray(sol.X)
         W = np.asarray(sol.U)
         self._warm = (X, U_init if not np.all(np.isfinite(W)) else W)

@@ -3,6 +3,6 @@ from .kernels import (ConstantKernel, DotProductKernel, ExponentialKernel,
                       GammaExponentialKernel, Kernel, LinearKernel, Matern32Kernel,
                       Matern52Kernel, MaternKernel, NeuralNetworkKernel,
                       PeriodicKernel, PiecewisePolynomialKernel, PolynomialKernel,
-                      RationalQuadraticKernel, SquaredExponentialKernel)
+                      RationalQuadraticKernel, SquaredExponentialKernel, Warp)
 from .means import (ConstantMean, LinearMean, Mean, OneMean, PolynomialMean,
                     ZeroMean)

@@ -458,3 +458,29 @@ class Power(KernelOperator):
 
     def eval(self, params, x, y):
         return self.kernel_1.eval(params, x, y) ** self.power
+
+
+class Warp(KernelOperator):
+    """Input-warping operator: k_w(x, x') = k(f(x), f(x')).
+
+    The reference declares ``Warp(KernelOperator)`` as an empty stub
+    (reference: hilo_mpc/modules/machine_learning/gp/kernel.py:1669-1670) —
+    this implementation is functional: ``warp`` is any JAX-traceable map
+    applied to both inputs before the base kernel, so e.g.
+    ``Warp(SquaredExponentialKernel(), jnp.log1p)`` gives a log-warped SE
+    kernel. The warped kernel stays positive semi-definite for any warp
+    because it is the base kernel evaluated on transformed inputs.
+    """
+
+    acronym = "Warp"
+
+    def __init__(self, kernel: Kernel, warp):
+        if not callable(warp):
+            raise TypeError("warp must be a callable x -> warped x")
+        super().__init__(kernel)
+        self.warp = warp
+
+    def eval(self, params, x, y):
+        fx = jnp.atleast_1d(jnp.asarray(self.warp(x)))
+        fy = jnp.atleast_1d(jnp.asarray(self.warp(y)))
+        return self.kernel_1.eval(params, fx, fy)

@@ -272,10 +272,13 @@ class ArtificialNeuralNetwork:
                 from torch.utils.tensorboard import SummaryWriter
 
                 writer = SummaryWriter(log_dir=tensorboard_log_dir)
-            except Exception as e:  # pragma: no cover - optional path
-                import warnings
-
-                warnings.warn(f"tensorboard logging unavailable: {e}")
+            except ImportError as e:  # pragma: no cover - optional path
+                # explicit gate like the reference's plugin manager
+                # (plugins/plugins.py raises when a backend import fails) —
+                # an advertised kwarg must not silently no-op
+                raise ImportError(
+                    "tensorboard=True needs torch.utils.tensorboard "
+                    "(install torch or tensorboardX)") from e
 
         n_tr = X_tr.shape[0]
         steps = max(1, n_tr // batch_size)

@@ -194,8 +194,11 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
     # Mosaic pads to full (8,128) tiles — measured 41 MB of scoped VMEM for a
     # single linearization, and pathological compile times.
     def _basis(n, i, dt):
-        # i is a Python int; .at[i].set would emit a scatter primitive, which
-        # Mosaic cannot lower — assemble the one-hot from scalar pieces instead
+        # i is a Python int, so .at[i].set would also have produced a constant
+        # during make_jaxpr tracing; the concatenate form is kept because it is
+        # guaranteed to stay a constant under every tracing mode (no scatter
+        # primitive can appear in the kernel jaxpr), not because .at[].set was
+        # observed to fail lowering here
         return jnp.concatenate(
             [jnp.full((1,), 1.0 if j == i else 0.0, dt) for j in range(n)])
 

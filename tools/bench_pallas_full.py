@@ -1,7 +1,7 @@
 """Measure the whole-solve Pallas IP kernel (ops/pallas_ip.py) on the real chip
 against the flagship XLA path at the bench config (CSTR, N=20).
 
-Usage: python tools/bench_pallas_full.py [B] [reps]
+Usage: python tools/bench_pallas_full.py [B] [reps] [tile_b]
 """
 import os
 import sys
@@ -16,17 +16,15 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/hilo_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    import jax.numpy as jnp
 
     import __graft_entry__ as ge
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    dtype = jnp.float32
 
     # -- XLA flagship path --------------------------------------------------
     nmpc = ge._build_nmpc(N=20, tol=1e-4, max_iter=25)
-    args = ge._batch_inputs(nmpc, B, dtype)
+    args = ge._batch_inputs(nmpc, B)
     fn = nmpc.solve_batch_fn()
     t0 = time.time()
     sol = fn(*args)
