@@ -299,12 +299,15 @@ class MovingHorizonEstimator(Estimator):
         theta[:, 0, -1] = 1.0
         return theta
 
-    def estimate_batch(self, Ys, Us=None, x_arrivals=None, p=None):
+    def estimate_batch(self, Ys, Us=None, x_arrivals=None, p=None, mesh=None):
         """Solve B independent MHE windows at once.
 
         Ys: (B, N+1, n_y) measurement windows; Us: (B, N+1, n_u) inputs, paired
         like estimate(): row k's input is the one whose application produced row
         k's measurement. x_arrivals: (B, nx) arrival means.
+        With ``mesh`` (a jax.sharding.Mesh with a leading 'dp' axis) the window
+        batch is sharded across devices and the vmapped solve partitions over
+        the mesh — the MHE analogue of parallel/sharding.sharded_solve_fn.
         Returns (x_est (B, nx), OCPSolution).
         """
         if not self._setup_done:
@@ -340,9 +343,14 @@ class MovingHorizonEstimator(Estimator):
             bounds = self._bounds
             self._solve_batch_jit = jax.jit(jax.vmap(
                 lambda th, x0s, Xi, Ui: solver(bounds, th, x0s, Xi, Ui)))
-        sol = self._solve_batch_jit(
-            jnp.asarray(theta, dtype), jnp.asarray(xs0, dtype),
-            jnp.asarray(X_init, dtype), jnp.asarray(U_init, dtype))
+        args = (jnp.asarray(theta, dtype), jnp.asarray(xs0, dtype),
+                jnp.asarray(X_init, dtype), jnp.asarray(U_init, dtype))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            args = tuple(jax.device_put(a, sh) for a in args)
+        sol = self._solve_batch_jit(*args)
         x_est = np.asarray(sol.X)[:, -1, :nx]
         return x_est, sol
 

@@ -1,3 +1,4 @@
-from .sharding import (convergence_stats, make_mesh, replicate, shard_batch,
-                       sharded_solve_fn)
+from .sharding import (batch_stats, convergence_stats, make_mesh, replicate,
+                       shard_batch, sharded_solve_fn)
 from .closed_loop import ClosedLoopResult, fused_closed_loop_fn
+from . import distributed

@@ -1,0 +1,219 @@
+"""Golden-parity configurations — shared by the fixture generator
+(tools/make_golden_fixtures.py, tools/make_golden_ipopt.py) and the parity test
+(tests/test_golden_parity.py), so both sides construct the *identical*
+controller/estimator.
+
+One builder per BASELINE.json config:
+  cstr_tracking   — configs[0]: reference-tracking NMPC, CSTR, N=20, rk4
+  lmpc_di         — configs[1]: LMPC condensed-QP path on a discrete linear model
+  mhe_cstr        — configs[2]: MHE window estimation for the CSTR
+  pathfollow_soft — configs[3]: path-following NMPC + soft constraint band
+  hybrid_ann      — configs[4]: NMPC over hybrid physics+ANN dynamics
+
+All run at x64 with tight solver tolerances; the throughput bench config
+(f32, tol=1e-4) is a different operating point by design.
+"""
+import numpy as np
+
+CSTR_P = [1.0] * 6  # a_1, b_1, a_2, b_2, g, E
+CSTR_REF = [0.3, 0.18055]
+
+
+# -- independent plant steppers (pure numpy; no framework code) ---------------
+
+def cstr_ode_np(x, u, p=CSTR_P):
+    """Schaffner & Zeitz CSTR ODE, written out independently
+    (reference: hilo_mpc/library/models.py:30-56)."""
+    a1, b1, a2, b2, g, E = p
+    r = (1.0 - x[0]) * np.exp(-E / (1.0 + x[1]))
+    return np.array([-a1 * x[0] + b1 * r,
+                     -a2 * x[1] + b2 * r + g * u[0]])
+
+
+def rk4_np(f, x, u, dt):
+    k1 = f(x, u)
+    k2 = f(x + 0.5 * dt * k1, u)
+    k3 = f(x + 0.5 * dt * k2, u)
+    k4 = f(x + dt * k3, u)
+    return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+# -- configs[0]: CSTR reference-tracking NMPC ---------------------------------
+
+def build_cstr_tracking():
+    from hilo_mpc_tpu import NMPC
+    from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
+
+    nmpc = NMPC(cstr_schaffner_and_zeitz())
+    nmpc.horizon = 20
+    nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0], ref=CSTR_REF)
+    nmpc.quad_stage_cost.add_inputs(weights=0.1)
+    nmpc.set_box_constraints(u_lb=[-5.0], u_ub=[5.0])
+    nmpc.set_parameters(CSTR_P)
+    nmpc.setup(options={"dt": 0.1, "integration_method": "rk4",
+                        "tol": 1e-9, "max_iter": 80})
+    scenario = {
+        "x0": np.array([0.2, 0.1]),
+        "steps": 25,
+        "plant_step": lambda x, u: rk4_np(cstr_ode_np, x, u, 0.1),
+    }
+    return nmpc, scenario
+
+
+# -- configs[1]: LMPC on a discrete-time double integrator --------------------
+
+LMPC_DT = 0.1
+LMPC_A = np.array([[1.0, LMPC_DT], [0.0, 1.0]])
+LMPC_B = np.array([[0.5 * LMPC_DT ** 2], [LMPC_DT]])
+
+
+def build_lmpc_di():
+    from hilo_mpc_tpu import LMPC, Model
+
+    m = Model(discrete=True)
+    m.set_state_space(A=LMPC_A, B=LMPC_B)
+    lmpc = LMPC(m)
+    lmpc.horizon = 15
+    lmpc.Q = np.diag([2.0, 0.5])
+    lmpc.R = np.array([[0.1]])
+    lmpc.P = np.diag([8.0, 2.0])
+    lmpc.set_box_constraints(u_lb=[-0.8], u_ub=[0.8],
+                             x_lb=[-np.inf, -0.6], x_ub=[np.inf, 0.6])
+    lmpc.setup(options={"dt": LMPC_DT, "tol": 1e-9, "max_iter": 80})
+    scenario = {
+        "x0": np.array([1.5, 0.0]),
+        "steps": 25,
+        "plant_step": lambda x, u: LMPC_A @ x + LMPC_B @ u,
+    }
+    return lmpc, scenario
+
+
+# -- configs[2]: MHE window estimation for the CSTR ---------------------------
+
+def build_mhe_cstr():
+    from hilo_mpc_tpu.estimation.mhe import MovingHorizonEstimator
+    from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
+
+    mhe = MovingHorizonEstimator(cstr_schaffner_and_zeitz())
+    mhe.horizon = 8
+    mhe.Q = 1e-3 * np.eye(2)      # process-noise covariance -> W_noise = Q^-1
+    mhe.R = np.array([[1e-4]])    # measurement covariance -> W_meas = R^-1
+    mhe.P0 = 0.05 * np.eye(2)     # arrival covariance
+    mhe.set_initial_parameter_values(CSTR_P)
+    mhe.setup(dt=0.1, options={"integration_method": "rk4",
+                               "tol": 1e-9, "max_iter": 80})
+    mhe.set_initial_guess([0.25, 0.08])
+    scenario = {
+        "x0_true": np.array([0.2, 0.1]),
+        "steps": 22,
+        "meas_std": 0.003,
+        "seed": 7,
+        "plant_step": lambda x, u: rk4_np(cstr_ode_np, x, u, 0.1),
+    }
+    return mhe, scenario
+
+
+# -- configs[3]: path-following NMPC with soft constraint band ----------------
+
+def build_pathfollow_soft():
+    import jax.numpy as jnp
+
+    from hilo_mpc_tpu import Model, NMPC
+
+    m = Model(name="pt")
+    m.set_dynamical_states(["px", "py"])
+    m.set_inputs(["vx", "vy"])
+    m.set_dynamical_equations(lambda x, u: u)
+
+    nmpc = NMPC(m)
+    nmpc.horizon = 12
+    path_fn = lambda th: jnp.stack([th, jnp.sin(th)])
+    nmpc.quad_stage_cost.add_states(names=["px", "py"], weights=[20.0, 20.0],
+                                    path_following=True, path_fn=path_fn)
+    nmpc.quad_stage_cost.add_inputs(weights=[0.05, 0.05])
+    nmpc.set_box_constraints(u_lb=[-2.0, -2.0], u_ub=[2.0, 2.0])
+    # soft "obstacle band": keep py <= 0.7 softly (quadratic penalty, the
+    # reference's soft-constraint semantics)
+    nmpc.add_stage_constraint(lambda x, u: jnp.stack([x[1] - 0.7]), ub=0.0,
+                              n=1, is_soft=True, weight=50.0)
+    nmpc.create_path_variable(u_pf_lb=0.0, u_pf_ub=2.0, speed_ref=1.0,
+                              speed_weight=1.0)
+    nmpc.setup(options={"dt": 0.1, "tol": 1e-9, "max_iter": 80})
+    scenario = {
+        "x0": np.array([0.0, 0.0]),
+        "steps": 25,
+        "plant_step": lambda x, u: x + 0.1 * u,  # exact for kinematic point
+    }
+    return nmpc, scenario
+
+
+# -- configs[4]: NMPC over hybrid physics+ANN dynamics ------------------------
+
+def _fixed_ann():
+    """Tiny deterministic MLP (no training — weights are a frozen function of a
+    seed) predicting the CSTR activation-energy parameter E from the states."""
+    from hilo_mpc_tpu import ANN, Dense
+
+    ann = ANN(["x_1", "x_2"], ["E"])
+    ann.add_layers([Dense(8, activation="tanh")])
+    ann.setup(normalize=False)
+    rng = np.random.default_rng(42)
+    params = []
+    for layer in ann._params:
+        W = 0.3 * rng.standard_normal(layer["W"].shape)
+        b = 0.1 * rng.standard_normal(layer["b"].shape)
+        params.append({"W": W, "b": b})
+    # shift the output bias so predicted E stays near the nominal 1.0
+    params[-1]["b"] = params[-1]["b"] + 1.0
+    ann._params = [{"W": np.asarray(p["W"]), "b": np.asarray(p["b"])}
+                   for p in params]
+    return ann
+
+
+def build_hybrid_ann():
+    from hilo_mpc_tpu import NMPC
+    from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
+    from hilo_mpc_tpu.ml.hybrid import substitute_from
+
+    ann = _fixed_ann()
+    model = cstr_schaffner_and_zeitz()
+    substitute_from(model, ann)
+
+    nmpc = NMPC(model)
+    nmpc.horizon = 15
+    nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0], ref=CSTR_REF)
+    nmpc.quad_stage_cost.add_inputs(weights=0.1)
+    nmpc.set_box_constraints(u_lb=[-5.0], u_ub=[5.0])
+    nmpc.set_parameters(CSTR_P[:5])  # E replaced by the ANN
+    nmpc.setup(options={"dt": 0.1, "integration_method": "rk4",
+                        "tol": 1e-9, "max_iter": 80})
+
+    # independent numpy twin of the hybrid dynamics for the plant
+    def ann_E_np(x):
+        # ANN._apply convention: h @ W + b, W shape (in, out) (ml/nn.py:157)
+        h = x
+        for layer in ann._params[:-1]:
+            h = np.tanh(h @ np.asarray(layer["W"]) + np.asarray(layer["b"]))
+        out = ann._params[-1]
+        return float(h @ np.asarray(out["W"]) + np.asarray(out["b"]))
+
+    def hybrid_ode_np(x, u):
+        p = list(CSTR_P)
+        p[5] = ann_E_np(x)
+        return cstr_ode_np(x, u, p)
+
+    scenario = {
+        "x0": np.array([0.2, 0.1]),
+        "steps": 25,
+        "plant_step": lambda x, u: rk4_np(hybrid_ode_np, x, u, 0.1),
+    }
+    return nmpc, scenario
+
+
+CONFIGS = {
+    "cstr_tracking": build_cstr_tracking,
+    "lmpc_di": build_lmpc_di,
+    "mhe_cstr": build_mhe_cstr,
+    "pathfollow_soft": build_pathfollow_soft,
+    "hybrid_ann": build_hybrid_ann,
+}
