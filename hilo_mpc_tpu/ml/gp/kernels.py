@@ -71,6 +71,21 @@ class Kernel:
         Xb = X if X_bar is None else jnp.atleast_2d(X_bar)
         return jax.vmap(lambda a: jax.vmap(lambda b: self.eval(params, a, b))(Xb))(X)
 
+    def _check_dims(self, d: int):
+        """Validate ARD length-scale vectors against the (active) input
+        dimension — explicit errors like the reference's (kernel.py asserts
+        matching input-space dimensions) instead of opaque broadcast failures."""
+        d_eff = len(self.active_dims) if self.active_dims is not None else d
+        if self.active_dims is not None and np.any(self.active_dims >= d):
+            raise ValueError(f"active_dims {self.active_dims.tolist()} out of "
+                             f"range for {d}-dimensional input")
+        for hp in self._hyperparameters:
+            if (hp.name.endswith("length_scales") and hp.size > 1
+                    and hp.size != d_eff):
+                raise ValueError(
+                    f"{hp.name}: {hp.size} ARD length scales for "
+                    f"{d_eff} input dimension(s)")
+
     def __call__(self, X, X_bar=None):
         X = jnp.asarray(X, dtype=jnp.result_type(float))
         # accept both (n, d) and the reference's (d, n) column layout for 1-D input
@@ -81,12 +96,18 @@ class Kernel:
             Xb = jnp.asarray(X_bar, dtype=X.dtype)
             if Xb.ndim == 1:
                 Xb = Xb[:, None]
+            if Xb.shape[1] != X.shape[1]:
+                raise ValueError(
+                    f"X and X_bar do not have the same input space "
+                    f"dimensions ({X.shape[1]} vs {Xb.shape[1]})")
+        self._check_dims(X.shape[1])
         return self.gram(self.param_values(), X, Xb)
 
     def diag(self, X) -> Array:
         import jax
 
         X = jnp.atleast_2d(jnp.asarray(X, dtype=jnp.result_type(float)))
+        self._check_dims(X.shape[1])
         params = self.param_values()
         return jax.vmap(lambda a: self.eval(params, a, a))(X)
 
@@ -409,6 +430,11 @@ class KernelOperator(Kernel):
         self.kernel_1 = kernel_1
         self.kernel_2 = kernel_2
 
+    def _check_dims(self, d: int):
+        self.kernel_1._check_dims(d)
+        if self.kernel_2 is not None:
+            self.kernel_2._check_dims(d)
+
     @property
     def hyperparameters(self):
         hps = list(self.kernel_1.hyperparameters)
@@ -479,6 +505,11 @@ class Warp(KernelOperator):
             raise TypeError("warp must be a callable x -> warped x")
         super().__init__(kernel)
         self.warp = warp
+
+    def _check_dims(self, d: int):
+        # the warp may change the input dimension; the base kernel sees the
+        # warped space, which is unknown until evaluation — skip static checks
+        pass
 
     def eval(self, params, x, y):
         fx = jnp.atleast_1d(jnp.asarray(self.warp(x)))

@@ -25,6 +25,16 @@ schedule, same masking), so converged solutions match the XLA path to f32 roundo
 this kernel ≡ solve_ocp ≡ IPOPT on the reference's NLP (reference:
 hilo_mpc/modules/controller/mpc.py:1778-1787 hands the same multiple-shooting NLP to
 IPOPT's C++ interior point; here the "solver binary" is a Mosaic kernel).
+
+MEASURED VERDICT (v5e, round 2, tools/bench_pallas_full.py): correct
+(max|dU| ~3e-7 vs the XLA path) but SLOWER than the flagship
+XLA+pallas_riccati path — 140k vs 179k solves/s at B=4096 (0.78x) and 463k vs
+1385k at B=65536 (0.33x). The monolithic kernel serializes the whole IP loop
+per lane tile, so it cannot overlap the AD-heavy linearization with the sweep
+the way XLA's fusion+pipelining does across the batch, and its lane-vector
+matmuls never reach the MXU. It therefore stays OPT-IN (`pallas_full` option,
+default off); the production batched path is XLA + the fused Pallas Riccati
+sweep kernel (ops/pallas_kernels.riccati_lq_pallas).
 """
 from __future__ import annotations
 
