@@ -343,6 +343,116 @@ class GPArray:
             gp.fit_model(**kwargs)
         return self
 
+    def fit_model_batched(self, max_iter: int = 200, learning_rate: float = 5e-2,
+                          solver: str = "lbfgs"):
+        """Fit ALL output GPs in ONE jitted, vmapped on-device optimization.
+
+        The reference fits each output's hyperparameters with a separate
+        host-side IPOPT/SciPy run (reference: gp/gp.py:609-641, GPArray loops
+        gp.py:974-1008); here the whole array trains as a single device
+        dispatch — `vmap` over outputs of an L-BFGS (optax.lbfgs, with its
+        zoom linesearch) or Adam scan on the negative log marginal
+        likelihood. This is the SMPC/hybrid workflow path: one jit trains 8+
+        output GPs (or scenario-stacked datasets) without a host round-trip
+        per iteration.
+
+        Requires all GPs to share the hyperparameter structure (same kernel/
+        mean families — the values stay per-GP) and training-set shape.
+        """
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from .inference import ExactInference
+
+        gps = [gp for gp in self._gps]
+        if any(gp is None for gp in gps):
+            raise RuntimeError("assign every GPArray slot before fitting")
+        if any(gp.X_train is None for gp in gps):
+            raise RuntimeError("call set_training_data on every GP first")
+        gp0 = gps[0]
+        packs = [gp._pack() for gp in gps]
+        w0s, specs0, _ = packs[0]
+        sig0 = [(hp.name, n) for hp, n in specs0]
+        for gp, (w, specs, _) in zip(gps, packs):
+            if [(hp.name, n) for hp, n in specs] != sig0:
+                raise ValueError(
+                    "fit_model_batched needs identical hyperparameter "
+                    "structure across the array (same kernel/mean families)")
+            if gp.X_train.shape != gp0.X_train.shape:
+                raise ValueError("fit_model_batched needs equal training-set "
+                                 "shapes across the array")
+        if w0s.size == 0:
+            for gp in gps:
+                gp._refresh_state()
+                gp._setup_done = True
+            return self
+
+        W0 = jnp.asarray(np.stack([w for w, _, _ in packs]))
+        Xs = jnp.asarray(np.stack([np.asarray(gp.X_train) for gp in gps]))
+        ys = jnp.asarray(np.stack([np.asarray(gp.y_train) for gp in gps]))
+        noise_name = gp0.noise_variance.name
+        prior_hps = [hp for hp in gp0.hyperparameters if hp.prior is not None]
+
+        def nll(w, X, y):
+            params = gp0._unpack(w, specs0)
+            sn2 = jnp.squeeze(params[noise_name]) ** 2
+            lml = ExactInference.log_marginal_likelihood(
+                gp0.kernel, gp0.mean, params, X, y, sn2)
+            logp = 0.0
+            for hp in prior_hps:
+                logp = logp + hp.log_prior(params[hp.name])
+            v = -(lml + logp)
+            # NaN guard: a failed Cholesky during a trial step must read as a
+            # huge value so the linesearch backtracks instead of poisoning w
+            return jnp.where(jnp.isfinite(v), v, 1e12)
+
+        if solver == "lbfgs":
+            opt = optax.lbfgs(learning_rate=None)
+
+            def fit_one(w0, X, y):
+                fun = lambda w: nll(w, X, y)
+                vag = optax.value_and_grad_from_state(fun)
+
+                def step(carry, _):
+                    w, state = carry
+                    value, grad = vag(w, state=state)
+                    updates, state = opt.update(
+                        grad, state, w, value=value, grad=grad, value_fn=fun)
+                    return (optax.apply_updates(w, updates), state), value
+
+                (w, _), vals = jax.lax.scan(step, (w0, opt.init(w0)), None,
+                                            length=max_iter)
+                return w, vals[-1]
+        elif solver == "adam":
+            opt = optax.adam(learning_rate)
+
+            def fit_one(w0, X, y):
+                fun = lambda w: nll(w, X, y)
+
+                def step(carry, _):
+                    w, state = carry
+                    value, grad = jax.value_and_grad(fun)(w)
+                    updates, state = opt.update(grad, state)
+                    return (optax.apply_updates(w, updates), state), value
+
+                (w, _), vals = jax.lax.scan(step, (w0, opt.init(w0)), None,
+                                            length=max_iter)
+                return w, vals[-1]
+        else:
+            raise ValueError(f"unknown solver {solver!r} (lbfgs | adam)")
+
+        W, finals = jax.jit(jax.vmap(fit_one))(W0, Xs, ys)
+        W = np.asarray(W)
+        for i, (gp, (_, specs, _)) in enumerate(zip(gps, packs)):
+            params = gp._unpack(jnp.asarray(W[i]), specs)
+            for hp, _n in specs:
+                hp.value = np.asarray(params[hp.name])
+            gp._refresh_state()
+            gp._setup_done = True
+        self.last_fit_nll = np.asarray(finals)
+        return self
+
     def predict(self, X_query, **kwargs):
         out = [gp.predict(X_query, **kwargs) for gp in self._gps]
         means = np.stack([m for m, _ in out], axis=-1)
