@@ -21,5 +21,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: repeated suite runs skip the (minutes of) XLA compiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/hilo_jax_cache")
+# (HILO_JAX_CACHE overrides the location — point it at an empty dir to measure
+# the cold-compile wall time)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("HILO_JAX_CACHE", "/tmp/hilo_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
