@@ -73,6 +73,8 @@ _LAZY = {
     "DataSet": ("hilo_mpc_tpu.utils.data", "DataSet"),
     "DataGenerator": ("hilo_mpc_tpu.utils.data", "DataGenerator"),
     "Session": ("hilo_mpc_tpu.utils.session", "Session"),
+    "EventFileWriter": ("hilo_mpc_tpu.utils.tb_events", "EventFileWriter"),
+    "TensorBoardSupervisor": ("hilo_mpc_tpu.utils.tb_events", "TensorBoardSupervisor"),
     "set_plot_backend": ("hilo_mpc_tpu.utils.plotting", "set_plot_backend"),
     "get_plot_backend": ("hilo_mpc_tpu.utils.plotting", "get_plot_backend"),
 }

@@ -149,3 +149,14 @@ class TimeSeries:
         from scipy.io import savemat
 
         savemat(path, {k.replace(":", "_"): v for k, v in self.to_dict().items()})
+
+    def plot(self, kinds=None, names=None, show: bool = False, save_as=None,
+             title=None):
+        """Plot through the active backend (matplotlib/bokeh/latex).
+
+        Reference: Series.plot dispatching to the PlotManager backend
+        (modules/base.py:3458-3530, plugins/plugins.py)."""
+        from ..utils.plotting import plot_series
+
+        return plot_series(self, kinds=kinds, names=names, show=show,
+                           save_as=save_as, title=title)

@@ -267,18 +267,10 @@ class ArtificialNeuralNetwork:
         writer = None
         if tensorboard:
             # reference parity: tensorboard hooks during training
-            # (plugins/tensorboard/wrapper.py) — torch's event writer, no extra deps
-            try:
-                from torch.utils.tensorboard import SummaryWriter
+            # (plugins/tensorboard/wrapper.py) — native event writer, zero deps
+            from ..utils.tb_events import EventFileWriter
 
-                writer = SummaryWriter(log_dir=tensorboard_log_dir)
-            except ImportError as e:  # pragma: no cover - optional path
-                # explicit gate like the reference's plugin manager
-                # (plugins/plugins.py raises when a backend import fails) —
-                # an advertised kwarg must not silently no-op
-                raise ImportError(
-                    "tensorboard=True needs torch.utils.tensorboard "
-                    "(install torch or tensorboardX)") from e
+            writer = EventFileWriter(log_dir=tensorboard_log_dir)
 
         n_tr = X_tr.shape[0]
         steps = max(1, n_tr // batch_size)

@@ -4,10 +4,12 @@ Reference: hilo_mpc/plugins/plugins.py:28-216 (PlotManager version-gates bokeh>=
 matplotlib>=3 and dispatches `plot`), plugins/matplotlib/plot.py (1199 LoC),
 plugins/bokeh/plot.py (1225 LoC), plugins/latex/plot.py (license-header stub, no code).
 
-Here: matplotlib is the rendering backend; 'latex' is a real pgfplots exporter
-(`to_pgfplots`, exceeding the reference's empty stub); 'bokeh' is gated with a clear
-error because the package is not installed in this environment (matching the
-reference's plugin-manager behavior of raising when a backend's import fails).
+Here: matplotlib is the default rendering backend; 'latex' is a real pgfplots
+exporter (`to_pgfplots`, exceeding the reference's empty stub); 'bokeh' is a
+real interactive-HTML backend (`plotting_bokeh.plot_series_bokeh`) whose
+*package* import is gated with a clear error when bokeh is absent (matching
+the reference's plugin-manager behavior of raising when an optional backend's
+import fails).
 """
 from __future__ import annotations
 
@@ -64,6 +66,12 @@ def plot_series(series, kinds=None, names=None, show: bool = False, save_as=None
             raise ValueError("latex backend needs save_as='<file>.tex'")
         to_pgfplots(series, save_as, kinds=kinds, names=names, title=title)
         return None
+
+    if _BACKEND == "bokeh" or (save_as and str(save_as).endswith(".html")):
+        from .plotting_bokeh import plot_series_bokeh
+
+        return plot_series_bokeh(series, kinds=kinds, names=names, show=show,
+                                 save_as=save_as, title=title)
 
     import matplotlib
 

@@ -1,0 +1,135 @@
+"""Bokeh backend tests — exercised against a recording stub of bokeh's API.
+
+bokeh is an optional dependency (not installed in this image), so like
+the reference's plugin tests we validate our side of the contract: the
+backend builds one figure per variable, uses step glyphs for inputs and
+line glyphs elsewhere, links x ranges, and drives output_file/save for
+HTML export. The stub implements exactly the public surface the backend
+declares it uses (figure/line/step/column/output_file/save/show).
+Reference: hilo_mpc/plugins/bokeh/plot.py, plugins/plugins.py.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+class _FigStub:
+    def __init__(self, **kwargs):
+        self.kwargs = kwargs
+        self.calls = []
+        self.x_range = object()
+
+    def line(self, x, y, **kw):
+        self.calls.append(("line", np.asarray(x), np.asarray(y), kw))
+
+    def step(self, x, y, **kw):
+        self.calls.append(("step", np.asarray(x), np.asarray(y), kw))
+
+
+@pytest.fixture
+def stub_bokeh(monkeypatch):
+    rec = {"figs": [], "saved": [], "outfile": [], "shown": []}
+
+    bokeh = types.ModuleType("bokeh")
+    bio = types.ModuleType("bokeh.io")
+    bplt = types.ModuleType("bokeh.plotting")
+    blay = types.ModuleType("bokeh.layouts")
+
+    def figure(**kw):
+        f = _FigStub(**kw)
+        rec["figs"].append(f)
+        return f
+
+    bplt.figure = figure
+    blay.column = lambda children: ("column", list(children))
+    bio.output_file = lambda path, **kw: rec["outfile"].append(path)
+    bio.save = lambda layout: rec["saved"].append(layout)
+    bio.show = lambda layout: rec["shown"].append(layout)
+    bokeh.io = bio
+    bokeh.plotting = bplt
+    bokeh.layouts = blay
+
+    for name, mod in [("bokeh", bokeh), ("bokeh.io", bio),
+                      ("bokeh.plotting", bplt), ("bokeh.layouts", blay)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+    return rec
+
+
+def _sim_series():
+    from hilo_mpc_tpu import Model
+
+    model = Model()
+    model.set_inputs("u")
+    model.set_equations("dx/dt = -x + u")
+    model.setup(dt=0.1)
+    model.set_initial_conditions([1.0])
+    model.simulate(u=np.full((20, 1), 0.5), steps=20)
+    return model.solution
+
+
+def test_backend_gate_without_bokeh():
+    from hilo_mpc_tpu.utils.plotting import get_plot_backend, set_plot_backend
+
+    if "bokeh" in sys.modules and not isinstance(
+            sys.modules["bokeh"], types.ModuleType):
+        pytest.skip("unexpected bokeh state")
+    try:
+        import bokeh  # noqa: F401
+        pytest.skip("real bokeh installed")
+    except ImportError:
+        pass
+    prev = get_plot_backend()
+    try:
+        with pytest.raises(ImportError, match="bokeh"):
+            set_plot_backend("bokeh")
+        assert get_plot_backend() == prev  # gate must not half-switch
+    finally:
+        set_plot_backend(prev)
+
+
+def test_bokeh_plot_series(stub_bokeh):
+    from hilo_mpc_tpu.utils.plotting import set_plot_backend
+
+    series = _sim_series()
+    prev = "matplotlib"
+    set_plot_backend("bokeh")
+    try:
+        from hilo_mpc_tpu.utils.plotting import plot_series
+
+        layout = plot_series(series, kinds=["x", "u"], title="closed loop")
+    finally:
+        set_plot_backend(prev)
+    kind, children = layout
+    assert kind == "column"
+    assert len(children) == 2  # one panel per variable (x, u)
+    fx, fu = stub_bokeh["figs"]
+    assert fx.calls[0][0] == "line"   # states: line glyph
+    assert fu.calls[0][0] == "step"   # inputs: piecewise-constant step glyph
+    assert fu.calls[0][3].get("mode") == "after"
+    # data lengths consistent with the time grid
+    assert len(fx.calls[0][1]) == len(fx.calls[0][2])
+    # linked x ranges for aligned panning
+    assert fu.x_range is fx.x_range
+    assert not stub_bokeh["saved"]
+
+
+def test_bokeh_html_export(stub_bokeh, tmp_path):
+    series = _sim_series()
+    out = str(tmp_path / "loop.html")
+    # .html save_as routes to the bokeh backend even from the default backend
+    fig = series.plot(save_as=out)
+    assert stub_bokeh["outfile"] == [out]
+    assert stub_bokeh["saved"] == [fig]
+
+
+def test_series_plot_method_matplotlib(tmp_path):
+    # TimeSeries.plot (reference: Series.plot, base.py:3458) renders via mpl
+    series = _sim_series()
+    out = str(tmp_path / "loop.png")
+    fig = series.plot(save_as=out)
+    assert fig is not None
+    import os
+
+    assert os.path.getsize(out) > 0
