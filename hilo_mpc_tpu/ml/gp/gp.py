@@ -107,7 +107,7 @@ class GaussianProcess:
                 + [self.noise_variance])
 
     def _params(self) -> Dict[str, jnp.ndarray]:
-        return {hp.name: (jnp.squeeze(jnp.asarray(hp.value)) if hp.size == 1
+        return {hp.key: (jnp.squeeze(jnp.asarray(hp.value)) if hp.size == 1
                           else jnp.asarray(hp.value))
                 for hp in self.hyperparameters}
 
@@ -140,7 +140,7 @@ class GaussianProcess:
             val = w[off:off + n]
             off += n
             val = jnp.exp(val) if hp.positive else val
-            params[hp.name] = (jnp.squeeze(val) if hp.size == 1
+            params[hp.key] = (jnp.squeeze(val) if hp.size == 1
                                else val.reshape(np.shape(hp.value)))
         return params
 
@@ -150,13 +150,13 @@ class GaussianProcess:
         y = jnp.asarray(self.y_train)
         # the stored value acts as a standard deviation, like the reference
         # (inference.py:199 exp(2*log_noise))
-        sn2 = jnp.squeeze(params[self.noise_variance.name]) ** 2
+        sn2 = jnp.squeeze(params[self.noise_variance.key]) ** 2
         lml = ExactInference.log_marginal_likelihood(
             self.kernel, self.mean, params, X, y, sn2)
         logp = 0.0
         for hp in self.hyperparameters:
             if hp.prior is not None:
-                logp = logp + hp.log_prior(params[hp.name])
+                logp = logp + hp.log_prior(params[hp.key])
         return -(lml + logp)
 
     @property
@@ -261,7 +261,7 @@ class GaussianProcess:
 
         params = self._unpack(jnp.asarray(w_best), specs)
         for hp, _ in specs:
-            hp.value = np.asarray(params[hp.name])
+            hp.value = np.asarray(params[hp.key])
         self._refresh_state()
         self._setup_done = True
         return self
@@ -391,7 +391,7 @@ class GPArray:
         W0 = jnp.asarray(np.stack([w for w, _, _ in packs]))
         Xs = jnp.asarray(np.stack([np.asarray(gp.X_train) for gp in gps]))
         ys = jnp.asarray(np.stack([np.asarray(gp.y_train) for gp in gps]))
-        noise_name = gp0.noise_variance.name
+        noise_name = gp0.noise_variance.key
         prior_hps = [hp for hp in gp0.hyperparameters if hp.prior is not None]
 
         def nll(w, X, y):
@@ -401,7 +401,7 @@ class GPArray:
                 gp0.kernel, gp0.mean, params, X, y, sn2)
             logp = 0.0
             for hp in prior_hps:
-                logp = logp + hp.log_prior(params[hp.name])
+                logp = logp + hp.log_prior(params[hp.key])
             v = -(lml + logp)
             # NaN guard: a failed Cholesky during a trial step must read as a
             # huge value so the linesearch backtracks instead of poisoning w
@@ -447,7 +447,7 @@ class GPArray:
         for i, (gp, (_, specs, _)) in enumerate(zip(gps, packs)):
             params = gp._unpack(jnp.asarray(W[i]), specs)
             for hp, _n in specs:
-                hp.value = np.asarray(params[hp.name])
+                hp.value = np.asarray(params[hp.key])
             gp._refresh_state()
             gp._setup_done = True
         self.last_fit_nll = np.asarray(finals)

@@ -49,9 +49,11 @@ class Kernel:
         return list(self._hyperparameters)
 
     def param_values(self) -> Dict[str, jnp.ndarray]:
-        # size-1 parameters become scalars so kernel evaluations stay 0-d
-        return {hp.name: (jnp.squeeze(jnp.asarray(hp.value)) if hp.size == 1
-                          else jnp.asarray(hp.value))
+        # size-1 parameters become scalars so kernel evaluations stay 0-d;
+        # keyed by hp.key (unique per instance) so same-family kernels in one
+        # composite cannot alias each other's parameters
+        return {hp.key: (jnp.squeeze(jnp.asarray(hp.value)) if hp.size == 1
+                         else jnp.asarray(hp.value))
                 for hp in self.hyperparameters}
 
     # -- evaluation ---------------------------------------------------------
@@ -164,7 +166,7 @@ class ConstantKernel(Kernel):
         self.bias = self._add_hp("bias", bias, bounds=bounds)
 
     def eval(self, params, x, y):
-        return params[self.bias.name] ** 2 * jnp.ones(())
+        return params[self.bias.key] ** 2 * jnp.ones(())
 
 
 class StationaryKernel(Kernel):
@@ -179,7 +181,7 @@ class StationaryKernel(Kernel):
 
     def _r2(self, params, x, y):
         xs, ys = self._select(x), self._select(y)
-        ls = params[self.length_scales.name]
+        ls = params[self.length_scales.key]
         d = (xs - ys) / ls
         return jnp.sum(d * d)
 
@@ -198,8 +200,8 @@ class GammaExponentialKernel(StationaryKernel):
 
     def eval(self, params, x, y):
         r2 = self._r2(params, x, y)
-        g = params[self.gamma.name]
-        return params[self.signal_variance.name] ** 2 * jnp.exp(
+        g = params[self.gamma.key]
+        return params[self.signal_variance.key] ** 2 * jnp.exp(
             -0.5 * (r2 + 1e-36) ** (g / 2.0))
 
 
@@ -207,7 +209,7 @@ class SquaredExponentialKernel(StationaryKernel):
     acronym = "SE"
 
     def eval(self, params, x, y):
-        return params[self.signal_variance.name] ** 2 * jnp.exp(
+        return params[self.signal_variance.key] ** 2 * jnp.exp(
             -0.5 * self._r2(params, x, y))
 
 
@@ -240,7 +242,7 @@ class MaternKernel(StationaryKernel):
 
     def eval(self, params, x, y):
         r = jnp.sqrt(self._r2(params, x, y) + 1e-36)
-        sv = params[self.signal_variance.name] ** 2
+        sv = params[self.signal_variance.key] ** 2
         d = jnp.sqrt(2.0 * self.nu) * r
         f = jnp.zeros(())
         for c in self._poly[::-1]:   # Horner
@@ -282,8 +284,8 @@ class RationalQuadraticKernel(StationaryKernel):
 
     def eval(self, params, x, y):
         r2 = self._r2(params, x, y)
-        a = params[self.alpha.name]
-        return params[self.signal_variance.name] ** 2 * (1.0 + r2 / (2.0 * a)) ** (-a)
+        a = params[self.alpha.key]
+        return params[self.signal_variance.key] ** 2 * (1.0 + r2 / (2.0 * a)) ** (-a)
 
 
 class PiecewisePolynomialKernel(StationaryKernel):
@@ -322,7 +324,7 @@ class PiecewisePolynomialKernel(StationaryKernel):
                     + (6 * j ** 2 + 36 * j + 45) * r ** 2
                     + (15 * j + 45) * r + 15.0) / 15.0
             e = j + 3
-        return params[self.signal_variance.name] ** 2 * base ** e * poly
+        return params[self.signal_variance.key] ** 2 * base ** e * poly
 
 
 # ---------------------------------------------------------------------------
@@ -343,11 +345,11 @@ class DotProductKernel(Kernel):
 
     def _dot(self, params, x, y):
         xs, ys = self._select(x), self._select(y)
-        ls = params[self.length_scales.name]
-        return jnp.sum((xs / ls) * (ys / ls)) + params[self.offset.name]
+        ls = params[self.length_scales.key]
+        return jnp.sum((xs / ls) * (ys / ls)) + params[self.offset.key]
 
     def eval(self, params, x, y):
-        return params[self.signal_variance.name] ** 2 * self._dot(params, x, y)
+        return params[self.signal_variance.key] ** 2 * self._dot(params, x, y)
 
 
 class PolynomialKernel(DotProductKernel):
@@ -361,7 +363,7 @@ class PolynomialKernel(DotProductKernel):
         self.degree = int(degree)
 
     def eval(self, params, x, y):
-        return params[self.signal_variance.name] ** 2 * self._dot(
+        return params[self.signal_variance.key] ** 2 * self._dot(
             params, x, y) ** self.degree
 
 
@@ -391,11 +393,11 @@ class NeuralNetworkKernel(Kernel):
 
     def eval(self, params, x, y):
         xs, ys = self._select(x), self._select(y)
-        wv2 = params[self.weight_variance.name] ** 2
+        wv2 = params[self.weight_variance.key] ** 2
         num = 1.0 + jnp.sum(xs * ys)
         den = jnp.sqrt((wv2 + 1.0 + jnp.sum(xs * xs))
                        * (wv2 + 1.0 + jnp.sum(ys * ys)))
-        return params[self.signal_variance.name] ** 2 * jnp.arcsin(
+        return params[self.signal_variance.key] ** 2 * jnp.arcsin(
             jnp.clip(num / den, -1.0, 1.0))
 
 
@@ -412,10 +414,10 @@ class PeriodicKernel(Kernel):
 
     def eval(self, params, x, y):
         xs, ys = self._select(x), self._select(y)
-        ls = params[self.length_scales.name]
-        p = params[self.period.name]
+        ls = params[self.length_scales.key]
+        p = params[self.period.key]
         s = jnp.sin(jnp.pi * jnp.abs(xs - ys) / p) / ls
-        return params[self.signal_variance.name] ** 2 * jnp.exp(
+        return params[self.signal_variance.key] ** 2 * jnp.exp(
             -2.0 * jnp.sum(s * s))
 
 
@@ -472,7 +474,7 @@ class Scale(KernelOperator):
         self.scale = self._add_hp("scale", float(scale), fixed=True)
 
     def eval(self, params, x, y):
-        return params[self.scale.name] * self.kernel_1.eval(params, x, y)
+        return params[self.scale.key] * self.kernel_1.eval(params, x, y)
 
 
 class Power(KernelOperator):

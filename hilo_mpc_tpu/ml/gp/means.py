@@ -30,8 +30,8 @@ class Mean:
         return list(self._hyperparameters)
 
     def param_values(self):
-        return {hp.name: (jnp.squeeze(jnp.asarray(hp.value)) if hp.size == 1
-                          else jnp.asarray(hp.value))
+        return {hp.key: (jnp.squeeze(jnp.asarray(hp.value)) if hp.size == 1
+                         else jnp.asarray(hp.value))
                 for hp in self.hyperparameters}
 
     def _select(self, x):
@@ -92,7 +92,7 @@ class ConstantMean(Mean):
         self.bias = self._add_hp("bias", bias)
 
     def eval(self, params, x):
-        return jnp.squeeze(params[self.bias.name])
+        return jnp.squeeze(params[self.bias.key])
 
 
 class LinearMean(Mean):
@@ -105,7 +105,11 @@ class LinearMean(Mean):
 
     def eval(self, params, x):
         xs = self._select(x)
-        return jnp.sum(params[self.coefficient.name] * xs)
+        if self.coefficient.size not in (1, xs.shape[0]):
+            raise ValueError(
+                f"LinearMean: {self.coefficient.size} ARD coefficients but "
+                f"{xs.shape[0]} active input dimensions")
+        return jnp.sum(params[self.coefficient.key] * xs)
 
 
 class PolynomialMean(Mean):
@@ -123,8 +127,12 @@ class PolynomialMean(Mean):
 
     def eval(self, params, x):
         xs = self._select(x)
-        return (jnp.sum(params[self.coefficient.name] * xs)
-                + jnp.squeeze(params[self.offset.name])) ** self.degree
+        if self.coefficient.size not in (1, xs.shape[0]):
+            raise ValueError(
+                f"PolynomialMean: {self.coefficient.size} ARD coefficients "
+                f"but {xs.shape[0]} active input dimensions")
+        return (jnp.sum(params[self.coefficient.key] * xs)
+                + jnp.squeeze(params[self.offset.key])) ** self.degree
 
 
 class MeanOperator(Mean):

@@ -12,11 +12,26 @@ import numpy as np
 
 
 class Hyperparameter:
+    # monotonically increasing serial so every instance gets a unique params-dict
+    # key: two kernels/means of the same family in one composite (e.g. SE(...) +
+    # SE(...)) must NOT alias each other's entries. `name` stays the
+    # human-readable reference-style identifier ("SE.length_scales"); `key` is
+    # what eval()/param dicts use internally.
+    _serial = 0
+
     def __init__(self, name: str, value=1.0, positive: bool = True,
                  fixed: bool = False, bounds=None, prior=None):
         self.name = name
+        Hyperparameter._serial += 1
+        self.key = f"{name}#{Hyperparameter._serial}"
         self.positive = bool(positive)
         self.fixed = bool(fixed)
+        if prior is not None and not hasattr(prior, "log_pdf"):
+            # reference parity: hyperpriors must be Prior distributions
+            # (util/machine_learning.py rejects non-Prior hyperprior values)
+            raise TypeError(
+                f"{name}: prior must be a Prior distribution with a log_pdf "
+                f"(got {type(prior).__name__})")
         self.prior = prior
         self._value = np.atleast_1d(np.asarray(value, dtype=float))
         if self.positive and np.any(self._value <= 0):

@@ -112,7 +112,7 @@ def test_ard_lengthscale_gradients_per_dimension():
     params = k.param_values()
     x1 = jnp.array([0.0, 0.0, 0.0])
     x2 = jnp.array([1.0, 1.0, 1.0])
-    g = jax.grad(lambda p: k.eval(p, x1, x2))(params)[k.length_scales.name]
+    g = jax.grad(lambda p: k.eval(p, x1, x2))(params)[k.length_scales.key]
     assert g.shape == (3,)
     # closer length scales have larger gradient magnitude
     assert abs(float(g[0])) > abs(float(g[1])) > abs(float(g[2]))
