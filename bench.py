@@ -33,10 +33,10 @@ def main():
 
 
 def _run(ge, jax, dev, B, reps):
-    nmpc = ge._build_nmpc(N=20, tol=1e-4, max_iter=25)
     import jax.numpy as jnp
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    args = ge._batch_inputs(nmpc, B, dtype)
+
+    nmpc = ge._build_nmpc(N=20, tol=1e-4, max_iter=25)
+    args = ge._batch_inputs(nmpc, B)
     fn = nmpc.solve_batch_fn()
 
     # warm-up / compile

@@ -138,6 +138,10 @@ class ParsedEquations:
     alg: Optional[Callable]      # g(x, z, u, p, t) -> residuals
     meas: Optional[Callable]     # h(x, z, u, p, t) -> y
     quad: Optional[Callable]
+    # raw RHS sources in declaration order (for transpilers, e.g. embedded C)
+    ode_src: Dict[str, str] = dataclasses.field(default_factory=dict)
+    meas_src: Dict[str, str] = dataclasses.field(default_factory=dict)
+    aux_src: List[tuple] = dataclasses.field(default_factory=list)
 
 
 def parse_equations(text: str, known_states: Optional[List[str]] = None,
@@ -147,6 +151,10 @@ def parse_equations(text: str, known_states: Optional[List[str]] = None,
     ode_exprs: Dict[str, tuple] = {}
     disc_exprs: Dict[str, tuple] = {}
     meas_exprs: Dict[str, tuple] = {}
+    # raw RHS sources, kept for downstream transpilers (embedded C codegen)
+    ode_srcs: Dict[str, str] = {}
+    meas_srcs: Dict[str, str] = {}
+    aux_srcs: Dict[str, str] = {}
     alg_expl: Dict[str, tuple] = {}
     alg_impl: List[tuple] = []
     quad_exprs: List[tuple] = []
@@ -187,18 +195,21 @@ def parse_equations(text: str, known_states: Optional[List[str]] = None,
         if m:
             code, coll = _compile_expr(rhs, where)
             ode_exprs[m.group(1)] = (code, coll)
+            ode_srcs[m.group(1)] = rhs
             note(coll)
             continue
         m = _DISC_RE.match(lhs)
         if m:
             code, coll = _compile_expr(rhs, where)
             disc_exprs[m.group(1)] = (code, coll)
+            ode_srcs[m.group(1)] = rhs
             note(coll)
             continue
         m = _MEAS_RE.match(lhs)
         if m:
             code, coll = _compile_expr(rhs, where)
             meas_exprs[m.group(1)] = (code, coll)
+            meas_srcs[m.group(1)] = rhs
             note(coll)
             continue
         m = _ALG_EXPL_RE.match(lhs)
@@ -223,6 +234,7 @@ def parse_equations(text: str, known_states: Optional[List[str]] = None,
             else:
                 code, coll = _compile_expr(rhs, where)
                 aux_exprs[lhs] = (code, coll)
+                aux_srcs[lhs] = rhs
                 note(coll)
             continue
         raise ValueError(f"cannot parse left-hand side {lhs!r}")
@@ -344,7 +356,9 @@ def parse_equations(text: str, known_states: Optional[List[str]] = None,
     return ParsedEquations(
         states=states, algebraic=algebraic, inputs=inputs, parameters=parameters,
         measurements=measurements, constants=constants, meta=meta, discrete=discrete,
-        n_quad=len(quad_exprs), ode=ode_fn, alg=alg_fn, meas=meas_fn, quad=quad_fn)
+        n_quad=len(quad_exprs), ode=ode_fn, alg=alg_fn, meas=meas_fn, quad=quad_fn,
+        ode_src=dict(ode_srcs), meas_src=dict(meas_srcs),
+        aux_src=[(n, aux_srcs[n]) for n in aux_order])
 
 
 def apply_parsed_equations(model, text: str) -> None:

@@ -25,7 +25,7 @@ def _flagship(N=8, **opts):
     nmpc.quad_stage_cost.add_inputs(weights=0.1)
     nmpc.set_box_constraints(u_lb=[-5.0], u_ub=[5.0])
     nmpc.set_parameters([1.0] * 6)
-    o = {"dt": 0.1, "integration_method": "rk4", "tol": 1e-4, "max_iter": 20,
+    o = {"dt": 0.1, "integration_method": "rk4", "tol": 1e-4, "max_iter": 10,
          "convexify": False, "n_linesearch": 1, "mu_init": 1e-2,
          "mehrotra": False}
     o.update(opts)
@@ -47,8 +47,8 @@ def _ref_solve(nmpc, args):
 
 
 def test_matches_general_path_flagship():
-    nmpc = _flagship(N=8)
-    args = _batch(nmpc, 16)
+    nmpc = _flagship(N=6)
+    args = _batch(nmpc, 8)
     sol_ref = _ref_solve(nmpc, args)
     sol_pl = solve_ocp_pallas_full(nmpc._funcs, nmpc._dims, nmpc._bounds,
                                    *args, options=nmpc._ip_opts, tile_b=256)
@@ -63,7 +63,7 @@ def test_matches_general_path_flagship():
                                np.asarray(sol_ref.objective), rtol=1e-4)
     # multipliers/slacks in the full (N, m) layout, masked rows pinned at 1.0
     m = 2 * nmpc._dims.nu + 2 * nmpc._dims.nx
-    assert sol_pl.s.shape == (16, 8, m)
+    assert sol_pl.s.shape == (8, 6, m)
     np.testing.assert_allclose(np.asarray(sol_pl.s[:, 1:, 2:]), 1.0)  # x rows off
     np.testing.assert_allclose(np.asarray(sol_pl.s[:, :, :2]),
                                np.asarray(sol_ref.s[:, :, :2]), atol=5e-4)
@@ -74,13 +74,13 @@ def test_matches_general_path_flagship():
 def test_active_state_and_terminal_bounds():
     # state box + terminal rows active: exercises x-row condensation and the
     # terminal slack/dual block
-    nmpc = _flagship(N=6)
+    nmpc = _flagship(N=5)
     nmpc.set_box_constraints(x_lb=[0.0, 0.0], x_ub=[0.29, 0.8],
                              u_lb=[-5.0], u_ub=[5.0])
     nmpc.setup(options={"dt": 0.1, "integration_method": "rk4", "tol": 1e-4,
-                        "max_iter": 25, "convexify": False, "n_linesearch": 1,
+                        "max_iter": 14, "convexify": False, "n_linesearch": 1,
                         "mu_init": 1e-2, "mehrotra": False})
-    args = _batch(nmpc, 8, seed=3)
+    args = _batch(nmpc, 6, seed=3)
     sol_ref = _ref_solve(nmpc, args)
     sol_pl = solve_ocp_pallas_full(nmpc._funcs, nmpc._dims, nmpc._bounds,
                                    *args, options=nmpc._ip_opts, tile_b=128)
@@ -147,7 +147,7 @@ def test_unconstrained_problem():
     nmpc = _flagship(N=5)
     nmpc.set_box_constraints()          # clears to ±inf
     nmpc.setup(options={"dt": 0.1, "integration_method": "rk4", "tol": 1e-4,
-                        "max_iter": 20, "convexify": False, "n_linesearch": 1,
+                        "max_iter": 10, "convexify": False, "n_linesearch": 1,
                         "mu_init": 1e-2, "mehrotra": False})
     args = _batch(nmpc, 4, seed=4)
     sol_ref = _ref_solve(nmpc, args)
