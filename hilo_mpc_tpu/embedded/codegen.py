@@ -322,4 +322,10 @@ def setup_solver(controller, workdir: Optional[str] = None, **kwargs):
         generate_lmpc_c(controller, src, **kwargs)
         so = compile_shared(src)
         return load_lmpc(so, controller._model.n_x, controller._model.n_u)
+    if kind in ("NMPC", "OCP"):
+        from .nmpc_codegen import generate_nmpc_c, load_nmpc
+
+        generate_nmpc_c(controller, src, **kwargs)
+        so = compile_shared(src)
+        return load_nmpc(so, controller._model.n_x, controller._model.n_u)
     raise TypeError(f"no embedded export for controller type {kind}")
