@@ -254,14 +254,33 @@ class Model:
             if val is not None:
                 self._ss[key] = np.atleast_2d(np.asarray(val, dtype=float))
         A_ = self._ss["A"]
+        # dimension validation at declaration time, like the reference's
+        # _unpack_state_space (dynamic_model.py:371)
+        if A_ is not None and A_.shape[0] != A_.shape[1]:
+            raise ValueError(f"A must be square, got {A_.shape}")
         if A_ is not None and self._x.n == 0:
             self._x.add(A_.shape[0], prefix="x")
         B_ = self._ss["B"]
+        if B_ is not None and A_ is not None and B_.shape[0] != A_.shape[0]:
+            raise ValueError(f"B has {B_.shape[0]} rows for {A_.shape[0]} "
+                             "states")
         if B_ is not None and self._u.n == 0:
             self._u.add(B_.shape[1], prefix="u")
         C_ = self._ss["C"]
+        if C_ is not None and self._x.n and C_.shape[1] != self._x.n:
+            raise ValueError(f"C has {C_.shape[1]} columns for {self._x.n} "
+                             "states")
         if C_ is not None and self._y.n == 0:
             self._y.add(C_.shape[0], prefix="y")
+        D_ = self._ss["D"]
+        if D_ is not None and self._u.n and D_.shape[1] != self._u.n:
+            raise ValueError(f"D has {D_.shape[1]} columns for {self._u.n} "
+                             "inputs")
+        if D_ is not None and C_ is not None and D_.shape[0] != C_.shape[0]:
+            raise ValueError(f"D has {D_.shape[0]} rows for {C_.shape[0]} "
+                             "measurements")
+        if D_ is not None and self._y.n == 0:
+            self._y.add(D_.shape[0], prefix="y")
 
         nx, nu = self._x.n, self._u.n
 
