@@ -47,11 +47,19 @@ class ParticleFilter(Estimator):
         super().__init__(model, **kwargs)
         if n_particles < 1:
             raise ValueError("n_particles must be >= 1")
+        if model.is_linear:
+            import warnings
+            # reference parity: a PF on a linear model works but a Kalman
+            # filter is exact and cheaper (reference: pf.py linear warning)
+            warnings.warn("The supplied model is linear. For better "
+                          "performance use the Kalman filter.")
         self.n_particles = int(n_particles)
         self.roughening = bool(roughening)
         self.roughening_tuning = float(roughening_tuning)
         self._seed = seed
         self._particles: Optional[np.ndarray] = None
+        self._pdf = lhsnorm
+        self._transpose_pdf: Optional[bool] = None
 
     def setup(self, dt: Optional[float] = None, integration_method: str = "rk4",
               **options):
@@ -125,9 +133,64 @@ class ParticleFilter(Estimator):
             self._init_particles()
         return self
 
+    # -- initial sampling distribution (reference: pf.py:195-224) -----------------
+    @property
+    def probability_density_function(self):
+        """Sampler drawing the initial particle cloud: pdf(mu, sigma, n) ->
+        (n, nx) array. Defaults to Latin-hypercube normal sampling."""
+        return self._pdf
+
+    @probability_density_function.setter
+    def probability_density_function(self, pdf):
+        if not callable(pdf):
+            raise TypeError("probability density function (pdf) must be "
+                            "callable")
+        ann = dict(getattr(pdf, "__annotations__", {}))
+        ret = ann.pop("return", None)
+        if ann:
+            names = list(ann)
+            for i, (arg, kind) in enumerate(zip(names[:3],
+                                                (np.ndarray, np.ndarray, int))):
+                if ann[arg] is not kind:
+                    no = ("first", "second", "third")[i]
+                    raise TypeError(
+                        f"The {no} argument to the probability density "
+                        f"function (pdf) needs to be {kind.__name__}")
+            if ret is not None and ret is not np.ndarray:
+                raise TypeError("The return value of the probability density "
+                                "function (pdf) needs to be numpy.ndarray")
+        self._pdf = pdf
+        self._transpose_pdf = None  # re-detect output orientation
+
+    # reference alias for the particle count used by the initial sampling
+    @property
+    def sample_size(self):
+        return self.n_particles
+
+    @sample_size.setter
+    def sample_size(self, n):
+        n = int(n)
+        if n < 1:
+            raise ValueError("sample_size must be >= 1")
+        self.n_particles = n
+        self._particles = None
+
     def _init_particles(self):
-        self._particles = lhsnorm(self._x0, self._P0, self.n_particles,
-                                  seed=self._seed)
+        if self._pdf is lhsnorm:
+            X = lhsnorm(self._x0, self._P0, self.n_particles, seed=self._seed)
+        else:
+            X = np.asarray(self._pdf(np.asarray(self._x0), np.asarray(self._P0),
+                                     self.n_particles), dtype=float)
+            # accept (n, nx) or the reference's (nx, n) column layout
+            if self._transpose_pdf is None:
+                self._transpose_pdf = X.shape != (self.n_particles, self.n_x)
+            if self._transpose_pdf:
+                X = X.T
+            if X.shape != (self.n_particles, self.n_x):
+                raise ValueError(
+                    f"Dimension mismatch. Expected dimension "
+                    f"{self.n_particles}x{self.n_x}, got {X.shape}")
+        self._particles = X
 
     def estimate(self, y, u=None, p=None):
         if not self._setup_done:
