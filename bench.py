@@ -24,10 +24,10 @@ def main():
     import __graft_entry__ as ge
 
     dev = jax.devices()[0]
-    # measured on v5e (unrolled fusable Riccati sweeps, pure Newton config):
-    # B=32768 -> 758k, 65536 -> 1.00M, 131072 -> 1.20M, 262144 -> 1.27M
-    # solves/s; default to the knee of the curve
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
+    # measured on v5e (fused Pallas Riccati sweeps, pure Newton config):
+    # B=131072 -> 1.758M, 262144 -> 1.829M solves/s (warm-start 1.842M);
+    # default to the best measured point
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     _run(ge, jax, dev, B, reps)
 
