@@ -1166,14 +1166,20 @@ class NMPC:
                                  sharex=True, squeeze=False)
         axes = axes.ravel()
         extras = extras or {}
-        extras_names = extras_names or [f"extra {i}" for i in range(len(extras))]
+        extras_names = list(extras_names or [])
+        # tolerate a short extras_names list: fall back to the extras key
+        keys = list(extras)
+        extras_names += keys[len(extras_names):]
+
+        def _extra_label(nm):
+            return extras_names[keys.index(nm)]
         for i, nm in enumerate(x_names):
             axes[i].plot(t, np.asarray(pred["x"])[:, i], "-o", ms=3,
                          label="prediction")
             if nm in extras:
                 e = np.asarray(extras[nm]).ravel()
                 axes[i].plot(t[:e.size], e, "--",
-                             label=extras_names[list(extras).index(nm)])
+                             label=_extra_label(nm))
             axes[i].set_ylabel(nm)
             axes[i].legend(loc="best", fontsize=8)
         for j, nm in enumerate(u_names):
@@ -1183,7 +1189,7 @@ class NMPC:
             if nm in extras:
                 e = np.asarray(extras[nm]).ravel()
                 ax.step(t[:e.size], e, "--", where="post",
-                        label=extras_names[list(extras).index(nm)])
+                        label=_extra_label(nm))
             ax.set_ylabel(nm)
             ax.legend(loc="best", fontsize=8)
         axes[-1].set_xlabel(f"time [{self._model.time_unit}]")

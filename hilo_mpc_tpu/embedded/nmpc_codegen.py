@@ -48,6 +48,16 @@ _C_CONSTS = {"pi": "3.14159265358979323846", "e": "2.71828182845904523536",
              "inf": "1e300"}
 
 
+def _c_float(v: float) -> str:
+    """Emit a C literal that is ALWAYS of type double. '%.17g' of 2.0 gives
+    '2', and 'x / (3 - 1)' would then be C integer division — force a decimal
+    point or exponent into every numeric literal."""
+    s = f"{float(v):.17g}"
+    if not any(c in s for c in ".eE") or s.lstrip("+-").startswith("inf"):
+        s += ".0"
+    return s
+
+
 class _CExpr(ast.NodeVisitor):
     """Transpile the DSL's Python-expression subset to a C99 expression.
 
@@ -69,7 +79,7 @@ class _CExpr(ast.NodeVisitor):
         if isinstance(node.value, bool):
             return "1.0" if node.value else "0.0"
         if isinstance(node.value, (int, float)):
-            return f"{float(node.value):.17g}"
+            return _c_float(node.value)
         raise ValueError(f"unsupported constant {node.value!r}")
 
     def visit_Name(self, node):
@@ -161,7 +171,7 @@ def generate_model_rhs_c(model) -> str:
     for i, n in enumerate(parsed.parameters):
         name_map[n] = f"P_VALS[{i}]"
     for n, v in parsed.constants.items():
-        name_map[n] = f"{float(v):.17g}"
+        name_map[n] = _c_float(v)
     tr = _CExpr(name_map)
     lines = []
     for n, expr in parsed.aux_src:

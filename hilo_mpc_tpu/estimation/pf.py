@@ -63,6 +63,9 @@ class ParticleFilter(Estimator):
 
     def setup(self, dt: Optional[float] = None, integration_method: str = "rk4",
               **options):
+        # remembered so sample_size changes can rebuild the jitted step (its
+        # closure bakes in the particle count)
+        self._setup_args = (dt, integration_method, dict(options))
         m = self._model
         self._dt = float(dt if dt is not None else (m.dt or 1.0))
         method = "discrete" if m.discrete else integration_method
@@ -142,20 +145,32 @@ class ParticleFilter(Estimator):
 
     @probability_density_function.setter
     def probability_density_function(self, pdf):
+        import inspect
+        import typing
+
         if not callable(pdf):
             raise TypeError("probability density function (pdf) must be "
                             "callable")
-        ann = dict(getattr(pdf, "__annotations__", {}))
-        ret = ann.pop("return", None)
-        if ann:
-            names = list(ann)
-            for i, (arg, kind) in enumerate(zip(names[:3],
-                                                (np.ndarray, np.ndarray, int))):
-                if ann[arg] is not kind:
+        # resolve annotations (handles PEP 563 string annotations); when they
+        # cannot be resolved, accept the callable unvalidated
+        try:
+            hints = typing.get_type_hints(pdf)
+        except Exception:
+            hints = {}
+        if hints:
+            try:
+                params = list(inspect.signature(pdf).parameters)
+            except (TypeError, ValueError):
+                params = []
+            expected = (np.ndarray, np.ndarray, int)
+            # check by PARAMETER POSITION, only where an annotation exists
+            for i, arg in enumerate(params[:3]):
+                if arg in hints and hints[arg] is not expected[i]:
                     no = ("first", "second", "third")[i]
                     raise TypeError(
                         f"The {no} argument to the probability density "
-                        f"function (pdf) needs to be {kind.__name__}")
+                        f"function (pdf) needs to be {expected[i].__name__}")
+            ret = hints.get("return")
             if ret is not None and ret is not np.ndarray:
                 raise TypeError("The return value of the probability density "
                                 "function (pdf) needs to be numpy.ndarray")
@@ -174,6 +189,13 @@ class ParticleFilter(Estimator):
             raise ValueError("sample_size must be >= 1")
         self.n_particles = n
         self._particles = None
+        # the jitted step closes over the particle count — rebuild it,
+        # preserving the recorded solution and filter time
+        if self._setup_done:
+            dt, method, options = self._setup_args
+            sol, time = self.solution, self._time
+            self.setup(dt=dt, integration_method=method, **options)
+            self.solution, self._time = sol, time
 
     def _init_particles(self):
         if self._pdf is lhsnorm:

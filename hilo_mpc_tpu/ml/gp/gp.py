@@ -372,13 +372,32 @@ class GPArray:
             raise RuntimeError("call set_training_data on every GP first")
         gp0 = gps[0]
         packs = [gp._pack() for gp in gps]
-        w0s, specs0, _ = packs[0]
+        w0s, specs0, bounds0 = packs[0]
         sig0 = [(hp.name, n) for hp, n in specs0]
+        fixed0 = [hp for hp in gp0.hyperparameters if hp.fixed]
+        fsig0 = [(hp.name, hp.size) for hp in fixed0]
         for gp, (w, specs, _) in zip(gps, packs):
             if [(hp.name, n) for hp, n in specs] != sig0:
                 raise ValueError(
                     "fit_model_batched needs identical hyperparameter "
                     "structure across the array (same kernel/mean families)")
+            fixed_i = [hp for hp in gp.hyperparameters if hp.fixed]
+            if [(hp.name, hp.size) for hp in fixed_i] != fsig0:
+                raise ValueError(
+                    "fit_model_batched needs the same FIXED hyperparameter "
+                    "structure across the array")
+            # priors enter the objective as host-side python closures of gp0's
+            # hyperparameters — they cannot vary per output inside one jit
+            for hp_a, hp_b in zip(gp0.hyperparameters, gp.hyperparameters):
+                pa, pb = hp_a.prior, hp_b.prior
+                same = (pa is None) == (pb is None) and (
+                    pa is None or (type(pa) is type(pb)
+                                   and vars(pa) == vars(pb)))
+                if not same:
+                    raise ValueError(
+                        f"fit_model_batched needs identical priors across "
+                        f"the array ({hp_a.name} differs); use fit_model() "
+                        f"per GP for heterogeneous priors")
             if gp.X_train.shape != gp0.X_train.shape:
                 raise ValueError("fit_model_batched needs equal training-set "
                                  "shapes across the array")
@@ -393,9 +412,31 @@ class GPArray:
         ys = jnp.asarray(np.stack([np.asarray(gp.y_train) for gp in gps]))
         noise_name = gp0.noise_variance.key
         prior_hps = [hp for hp in gp0.hyperparameters if hp.prior is not None]
+        # per-GP FIXED values, stacked over the array and routed through the
+        # vmap so every output is fitted against its OWN fixed parameters
+        # (not gp0's)
+        fixed_stacks = tuple(
+            jnp.asarray(np.stack([
+                np.atleast_1d(np.asarray(
+                    [h for h in gp.hyperparameters if h.fixed][j].value))
+                for gp in gps]))
+            for j in range(len(fixed0)))
+        # per-GP bounds in the unconstrained space (finding: the host
+        # fit_model enforces these via L-BFGS-B; enforce them here by
+        # projection after every update)
+        lb_ub = []
+        for gp, (_, _, bnds) in zip(gps, packs):
+            lb = np.array([-np.inf if b[0] is None else b[0] for b in bnds])
+            ub = np.array([np.inf if b[1] is None else b[1] for b in bnds])
+            lb_ub.append((lb, ub))
+        LB = jnp.asarray(np.stack([l for l, _ in lb_ub]))
+        UB = jnp.asarray(np.stack([u for _, u in lb_ub]))
 
-        def nll(w, X, y):
+        def nll(w, X, y, fixed_vals):
             params = gp0._unpack(w, specs0)
+            for hp, val in zip(fixed0, fixed_vals):
+                params[hp.key] = (jnp.squeeze(val) if hp.size == 1
+                                  else val.reshape(np.shape(hp.value)))
             sn2 = jnp.squeeze(params[noise_name]) ** 2
             lml = ExactInference.log_marginal_likelihood(
                 gp0.kernel, gp0.mean, params, X, y, sn2)
@@ -410,8 +451,8 @@ class GPArray:
         if solver == "lbfgs":
             opt = optax.lbfgs(learning_rate=None)
 
-            def fit_one(w0, X, y):
-                fun = lambda w: nll(w, X, y)
+            def fit_one(w0, X, y, fixed_vals, lb, ub):
+                fun = lambda w: nll(w, X, y, fixed_vals)
                 vag = optax.value_and_grad_from_state(fun)
 
                 def step(carry, _):
@@ -419,7 +460,8 @@ class GPArray:
                     value, grad = vag(w, state=state)
                     updates, state = opt.update(
                         grad, state, w, value=value, grad=grad, value_fn=fun)
-                    return (optax.apply_updates(w, updates), state), value
+                    w = jnp.clip(optax.apply_updates(w, updates), lb, ub)
+                    return (w, state), value
 
                 (w, _), vals = jax.lax.scan(step, (w0, opt.init(w0)), None,
                                             length=max_iter)
@@ -427,14 +469,15 @@ class GPArray:
         elif solver == "adam":
             opt = optax.adam(learning_rate)
 
-            def fit_one(w0, X, y):
-                fun = lambda w: nll(w, X, y)
+            def fit_one(w0, X, y, fixed_vals, lb, ub):
+                fun = lambda w: nll(w, X, y, fixed_vals)
 
                 def step(carry, _):
                     w, state = carry
                     value, grad = jax.value_and_grad(fun)(w)
                     updates, state = opt.update(grad, state)
-                    return (optax.apply_updates(w, updates), state), value
+                    w = jnp.clip(optax.apply_updates(w, updates), lb, ub)
+                    return (w, state), value
 
                 (w, _), vals = jax.lax.scan(step, (w0, opt.init(w0)), None,
                                             length=max_iter)
@@ -442,7 +485,8 @@ class GPArray:
         else:
             raise ValueError(f"unknown solver {solver!r} (lbfgs | adam)")
 
-        W, finals = jax.jit(jax.vmap(fit_one))(W0, Xs, ys)
+        W, finals = jax.jit(jax.vmap(fit_one))(W0, Xs, ys, fixed_stacks,
+                                               LB, UB)
         W = np.asarray(W)
         for i, (gp, (_, specs, _)) in enumerate(zip(gps, packs)):
             params = gp._unpack(jnp.asarray(W[i]), specs)
