@@ -25,9 +25,9 @@ def main():
 
     dev = jax.devices()[0]
     # measured on v5e (fused Pallas Riccati sweeps, pure Newton config):
-    # B=131072 -> 1.758M, 262144 -> 1.829M, 524288 -> 1.865M solves/s
-    # (warm-start 1.870M); default to the best measured point
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 524288
+    # B=131072 -> 1.758M, 262144 -> 1.829M, 524288 -> 1.865M,
+    # 1048576 -> 1.877M solves/s; default to the best measured point
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1048576
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     _run(ge, jax, dev, B, reps)
 
