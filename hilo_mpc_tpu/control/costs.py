@@ -91,6 +91,10 @@ class QuadraticCost:
             if ref_arr.ndim == 1 and ref_arr.size != len(idx):
                 raise ValueError(f"reference has {ref_arr.size} entries for "
                                  f"{len(idx)} variables")
+            if ref_arr.ndim == 2 and ref_arr.shape[1] != len(idx):
+                raise ValueError(
+                    f"trajectory reference has {ref_arr.shape[1]} columns "
+                    f"for {len(idx)} variables")
         if callable(ref):
             path_fn = ref
             path_following = True
