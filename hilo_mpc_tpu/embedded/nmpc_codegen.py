@@ -482,3 +482,54 @@ def load_nmpc(so_path: str, nx: int, nu: int, N: Optional[int] = None):
         return np.array(out)
 
     return step
+
+
+_CLOSED_LOOP_C = """
+/* fully-native closed loop: controller + plant, zero host round-trips.
+ * Each iteration: u_k = nmpc_step(x_k); x_{k+1} = plant step (same RK4).
+ * States and inputs are logged into caller-provided buffers. */
+void run_loop(const double *x0, int steps, double *xs_out, double *us_out) {
+    double x[NX], u[NU], xn[NX];
+    nmpc_init();
+    for (int i = 0; i < NX; ++i) x[i] = x0[i];
+    for (int k = 0; k < steps; ++k) {
+        for (int i = 0; i < NX; ++i) xs_out[k * NX + i] = x[i];
+        nmpc_step(x, u);
+        for (int i = 0; i < NU; ++i) us_out[k * NU + i] = u[i];
+        step_f(x, u, k * DT, xn);
+        for (int i = 0; i < NX; ++i) x[i] = xn[i];
+    }
+    for (int i = 0; i < NX; ++i) xs_out[steps * NX + i] = x[i];
+}
+"""
+
+
+def generate_closed_loop_c(nmpc, path: str, **kwargs) -> str:
+    """Emit the NMPC controller PLUS a native closed-loop runner.
+
+    The reference's SimpleControlLoop alternates Python-side controller
+    and plant calls (control_loop.py:399); here the whole loop — solve,
+    apply, integrate — runs inside one C call (`run_loop`), the embedded
+    analogue of the framework's fused on-device closed loop
+    (parallel/closed_loop.py). The plant model is the controller's own
+    model integrated with the same RK4/discrete step."""
+    generate_nmpc_c(nmpc, path, **kwargs)
+    with open(path, "a") as f:
+        f.write(_CLOSED_LOOP_C)
+    return path
+
+
+def load_closed_loop(so_path: str, nx: int, nu: int):
+    """ctypes wrapper: `run(x0, steps) -> (xs (steps+1, nx), us (steps, nu))`."""
+    lib = ctypes.CDLL(so_path)
+
+    def run(x0, steps: int):
+        steps = int(steps)
+        x_c = (ctypes.c_double * nx)(*np.asarray(x0, dtype=float).ravel())
+        xs = (ctypes.c_double * ((steps + 1) * nx))()
+        us = (ctypes.c_double * (steps * nu))()
+        lib.run_loop(x_c, steps, xs, us)
+        return (np.array(xs).reshape(steps + 1, nx),
+                np.array(us).reshape(steps, nu))
+
+    return run

@@ -164,3 +164,37 @@ class TestClosedLoopParity:
         u_c = solver([0.2, 0.1])
         u_py = np.asarray(nmpc.optimize([0.2, 0.1])).ravel()
         np.testing.assert_allclose(u_c, u_py, atol=5e-4)
+
+
+class TestNativeClosedLoop:
+    def test_run_loop_matches_python_loop(self, tmp_path):
+        from hilo_mpc_tpu.embedded.nmpc_codegen import (generate_closed_loop_c,
+                                                        load_closed_loop)
+
+        nmpc = _cstr_nmpc(N=20)
+        src = generate_closed_loop_c(nmpc, str(tmp_path / "loop_gen.c"))
+        run = load_closed_loop(compile_shared(src), 2, 1)
+        xs, us = run([0.2, 0.1], 25)
+        assert xs.shape == (26, 2) and us.shape == (25, 1)
+        # the native loop reaches the setpoint like the Python closed loop
+        assert np.linalg.norm(xs[-1] - [0.3, 0.18055]) < 5e-3
+        # and its first control matches the host solver
+        u_py = np.asarray(nmpc.optimize([0.2, 0.1])).ravel()
+        np.testing.assert_allclose(us[0], u_py, atol=2e-4)
+
+    def test_run_loop_respects_input_bounds(self, tmp_path):
+        from hilo_mpc_tpu.embedded.nmpc_codegen import (generate_closed_loop_c,
+                                                        load_closed_loop)
+
+        nmpc = NMPC(cstr_schaffner_and_zeitz())
+        nmpc.horizon = 8
+        nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0],
+                                        ref=[0.3, 0.18055])
+        nmpc.quad_stage_cost.add_inputs(weights=0.001)
+        nmpc.set_box_constraints(u_lb=[-0.1], u_ub=[0.1])
+        nmpc.set_parameters(P_CSTR)
+        nmpc.setup(options={"dt": 0.1})
+        src = generate_closed_loop_c(nmpc, str(tmp_path / "loop_gen.c"))
+        run = load_closed_loop(compile_shared(src), 2, 1)
+        _, us = run([0.1, 0.0], 10)
+        assert np.all(np.abs(us) <= 0.1 + 1e-12)

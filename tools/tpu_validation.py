@@ -218,8 +218,6 @@ def main():
     sys.exit(1 if fails else 0)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def nmpc_path_following():
@@ -309,3 +307,6 @@ def hybrid_ann_nmpc():
     u = nmpc.optimize([0.0, 0.0])
     assert nmpc.stats["converged"], nmpc.stats
     return f"ANN-in-NMPC u0={float(np.ravel(u)[0]):.3f}"
+
+if __name__ == "__main__":
+    main()
