@@ -4,6 +4,11 @@ reference example: docs/docsource/examples CSTR).
 Also demonstrates the TPU headline path: the same controller solving thousands of
 perturbed scenarios in one batched call.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 from hilo_mpc_tpu import NMPC, SimpleControlLoop

@@ -1,5 +1,10 @@
 """Joint estimate-then-control: MHE + NMPC on the CSTR (BASELINE configs[2];
 reference example: MHE chemical reaction)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 from hilo_mpc_tpu import MHE, NMPC, SimpleControlLoop

@@ -1,5 +1,10 @@
 """Path-following NMPC with soft state constraints (BASELINE configs[3];
 reference example: formula1 path-following)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import jax.numpy as jnp
 import numpy as np
 

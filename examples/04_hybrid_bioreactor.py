@@ -3,6 +3,11 @@ example: hybrid bio NMPC on E. coli, tests/test_hybrid_models_func.py).
 
 A first-principles bioreactor model with an unknown growth-rate parameter gets the
 rate substituted by a trained ANN; the hybrid model drives an NMPC."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import jax.numpy as jnp
 import numpy as np
 

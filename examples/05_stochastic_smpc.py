@@ -1,5 +1,10 @@
 """GP-based stochastic MPC with chance constraints, scenario-batched
 (BASELINE configs[4]: GP output-feedback MPC + scenario-batched stochastic MPC)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import jax.numpy as jnp
 import numpy as np
 

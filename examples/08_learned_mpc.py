@@ -4,6 +4,11 @@ from closed-loop runs and the torch-trained net is rebuilt as a CasADi graph; he
 the teacher generates the dataset as ONE batched solve and the natively-trained
 network is already a traceable JAX function).
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 from hilo_mpc_tpu import ANN, NMPC, Dense, SimpleControlLoop
