@@ -26,10 +26,6 @@ class _LiveLoopPlot:
     """
 
     def __init__(self, solution, pause: float = 1e-3):
-        from .utils.plotting import get_plot_backend
-
-        if get_plot_backend() == "bokeh":
-            import bokeh  # noqa: F401  (gated: raises if not installed)
         import matplotlib.pyplot as plt
 
         self._plt = plt
@@ -69,6 +65,23 @@ class _LiveLoopPlot:
     def finish(self):
         if not self._was_interactive:
             self._plt.ioff()
+
+
+def _make_live_plotter(solution, live_plot, **kwargs):
+    """Live-plot dispatch: ``True`` follows the active plot backend; the
+    strings 'matplotlib' / 'bokeh' select explicitly (reference: the loop
+    animation honors the selected plot plugin, control_loop.py:202-285)."""
+    if not live_plot:
+        return None
+    from .utils.plotting import get_plot_backend
+
+    backend = (live_plot if isinstance(live_plot, str)
+               else (get_plot_backend() or "matplotlib"))
+    if backend == "bokeh":
+        from .utils.plotting_bokeh import LiveBokehLoopPlot
+
+        return LiveBokehLoopPlot(solution, **kwargs)
+    return _LiveLoopPlot(solution)
 
 
 class SimpleControlLoop:
@@ -111,20 +124,26 @@ class SimpleControlLoop:
             return np.atleast_1d(np.asarray(c(x0)))
         raise TypeError(f"unsupported controller {type(c).__name__}")
 
-    def run(self, steps: int, p=None, live_plot: bool = False, **kwargs):
+    def run(self, steps: int, p=None, live_plot=False, live_plot_kwargs=None,
+            **kwargs):
         """Run the closed loop. Extra kwargs (e.g. ref_sc / ref_tc setpoint
         dicts) are forwarded to the controller's optimize call each step, like
         the reference (control_loop.py:366,399).
 
-        ``live_plot=True`` updates a matplotlib figure after every step
-        (reference: live bokeh-server / matplotlib animation,
-        control_loop.py:202-285); with the 'bokeh' plot backend selected it
-        raises the plugin gate's ImportError when bokeh is unavailable."""
+        ``live_plot=True`` animates the loop after every step on the active
+        plot backend — matplotlib (in-place figure updates) or bokeh
+        (ColumnDataSource streaming into a saved auto-refreshing HTML
+        document, or a bokeh server app with ``live_plot_kwargs=
+        {'mode': 'server'}``). The strings ``'matplotlib'`` / ``'bokeh'``
+        select a backend explicitly. Reference: live bokeh-server / mpl
+        animation, control_loop.py:202-285; with the 'bokeh' backend selected
+        but bokeh not installed this raises the plugin gate's ImportError."""
         plant = self._plant
         if plant.solution is None or plant.solution.n_samples == 0:
             raise RuntimeError("set plant initial conditions first "
                                "(plant.set_initial_conditions(x0))")
-        plotter = _LiveLoopPlot(self.solution) if live_plot else None
+        plotter = _make_live_plotter(self.solution, live_plot,
+                                     **(live_plot_kwargs or {}))
         x0 = plant.solution["x:f"]
         for k in range(steps):
             u = self._control(x0, k, **kwargs)

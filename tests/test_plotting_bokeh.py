@@ -22,10 +22,23 @@ class _FigStub:
         self.x_range = object()
 
     def line(self, x, y, **kw):
-        self.calls.append(("line", np.asarray(x), np.asarray(y), kw))
+        self.calls.append(("line", x, y, kw))
 
     def step(self, x, y, **kw):
-        self.calls.append(("step", np.asarray(x), np.asarray(y), kw))
+        self.calls.append(("step", x, y, kw))
+
+
+class _SourceStub:
+    """Records ColumnDataSource.stream calls like bokeh's CDS."""
+
+    def __init__(self, data=None):
+        self.data = {k: list(v) for k, v in (data or {}).items()}
+        self.streamed = []
+
+    def stream(self, new, rollover=None):
+        self.streamed.append(new)
+        for k, v in new.items():
+            self.data.setdefault(k, []).extend(v)
 
 
 @pytest.fixture
@@ -36,23 +49,33 @@ def stub_bokeh(monkeypatch):
     bio = types.ModuleType("bokeh.io")
     bplt = types.ModuleType("bokeh.plotting")
     blay = types.ModuleType("bokeh.layouts")
+    bmod = types.ModuleType("bokeh.models")
 
     def figure(**kw):
         f = _FigStub(**kw)
         rec["figs"].append(f)
         return f
 
+    def save(layout):
+        rec["saved"].append(layout)
+        if rec["outfile"]:  # emulate bokeh writing a standalone document
+            with open(rec["outfile"][-1], "w", encoding="utf-8") as fh:
+                fh.write("<html><head></head><body>doc</body></html>")
+
     bplt.figure = figure
     blay.column = lambda children: ("column", list(children))
     bio.output_file = lambda path, **kw: rec["outfile"].append(path)
-    bio.save = lambda layout: rec["saved"].append(layout)
+    bio.save = save
     bio.show = lambda layout: rec["shown"].append(layout)
+    bmod.ColumnDataSource = _SourceStub
     bokeh.io = bio
     bokeh.plotting = bplt
     bokeh.layouts = blay
+    bokeh.models = bmod
 
     for name, mod in [("bokeh", bokeh), ("bokeh.io", bio),
-                      ("bokeh.plotting", bplt), ("bokeh.layouts", blay)]:
+                      ("bokeh.plotting", bplt), ("bokeh.layouts", blay),
+                      ("bokeh.models", bmod)]:
         monkeypatch.setitem(sys.modules, name, mod)
     return rec
 
@@ -122,6 +145,65 @@ def test_bokeh_html_export(stub_bokeh, tmp_path):
     fig = series.plot(save_as=out)
     assert stub_bokeh["outfile"] == [out]
     assert stub_bokeh["saved"] == [fig]
+
+
+class TestLiveBokehLoop:
+    """Live loop animation on the bokeh backend (reference:
+    hilo_mpc/modules/control_loop.py:202-285 — bokeh server streaming
+    ColumnDataSource updates per step)."""
+
+    def test_streams_incrementally_and_saves_refresh_html(self, stub_bokeh,
+                                                          tmp_path):
+        from hilo_mpc_tpu.utils.plotting_bokeh import LiveBokehLoopPlot
+
+        series = _sim_series()
+        out = tmp_path / "live.html"
+        live = LiveBokehLoopPlot(series, save_as=out, refresh_s=0.5,
+                                 kinds=["x", "u"])
+        # figures drive glyphs from named CDS columns
+        fx, fu = stub_bokeh["figs"]
+        assert fx.calls[0][:3] == ("line", "t", "v")
+        assert fu.calls[0][0] == "step" and fu.calls[0][3]["mode"] == "after"
+        assert fu.x_range is fx.x_range
+
+        live.update()          # first update streams the whole history
+        n = series.n_samples
+        src_x = live._sources[0]
+        assert len(src_x.streamed) == 1
+        assert len(src_x.data["t"]) == n
+        # append two samples -> only the delta is streamed
+        series.append([series["t"][-1] + 0.1, series["t"][-1] + 0.2],
+                      x=np.array([[0.3, 0.2]]), u=np.array([[0.5, 0.5]]))
+        live.update()
+        assert len(src_x.streamed) == 2
+        assert len(src_x.streamed[-1]["t"]) == 2
+        np.testing.assert_allclose(src_x.data["v"],
+                                   np.asarray(series["x"][0], dtype=float))
+        live.finish()
+        html = out.read_text()
+        assert 'http-equiv="refresh" content="0.5"' in html
+
+    def test_control_loop_dispatches_to_bokeh(self, stub_bokeh, tmp_path,
+                                              monkeypatch):
+        from hilo_mpc_tpu import Model, SimpleControlLoop
+
+        monkeypatch.chdir(tmp_path)  # default save_as lands in cwd
+        plant = Model()
+        plant.set_inputs("u")
+        plant.set_equations("dx/dt = -x + u")
+        plant.setup(dt=0.1)
+        plant.set_initial_conditions([1.0])
+        loop = SimpleControlLoop(plant, lambda x: -0.5 * np.asarray(x))
+        loop.run(3, live_plot="bokeh")
+        assert stub_bokeh["figs"], "bokeh live plot was not constructed"
+        assert (tmp_path / "live_loop.html").exists()
+
+    def test_live_mode_validation(self, stub_bokeh):
+        from hilo_mpc_tpu.utils.plotting_bokeh import LiveBokehLoopPlot
+
+        series = _sim_series()
+        with pytest.raises(ValueError, match="mode"):
+            LiveBokehLoopPlot(series, mode="websocket")
 
 
 def test_series_plot_method_matplotlib(tmp_path):
