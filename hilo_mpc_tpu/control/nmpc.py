@@ -91,6 +91,8 @@ class NMPC:
         self._u_old = np.zeros(nu)
         self._theta_path0 = 0.0
         self._warm = None          # previous (X, U) scaled solution for warm start
+        self._rti = None           # prepared RTI data (rti_prepare/rti_feedback)
+        self._rti_gain_jit = None  # lazy: Riccati gain extraction at a solution
         self.solution: Optional[TimeSeries] = None
         self.last_prediction = None
         self.stats: dict = {}
@@ -1097,6 +1099,160 @@ class NMPC:
                                 self.stats["kkt_error"],
                                 self.stats["extime"] * 1e3,
                                 float(self.stats["converged"])]))
+        return u0
+
+    # -- real-time iteration (prepare / feedback split) ----------------------
+    def _build_rti_gain(self):
+        """Jitted first-stage Riccati feedback gain at a solved trajectory.
+
+        Linearizes the dynamics and quadratizes the cost along (X, U), runs the
+        backward Riccati sweep (ops/riccati.py) and returns K_0 — the exact
+        derivative of the unconstrained LQ policy w.r.t. the initial state. The
+        feedback phase applies u_0 + K_0 δx0 (projected onto the input box),
+        the tangential predictor of advanced-step / real-time-iteration NMPC.
+        Beyond the reference: CasADi/IPOPT has no prepare/feedback split
+        (reference solves the full NLP in the loop, mpc.py:1778-1787).
+        """
+        funcs, dims = self._funcs, self._dims
+        from ..ops.riccati import backward_sweep
+
+        def gain(X, U, theta):
+            def lin(x, u, th):
+                A = jax.jacobian(funcs.dyn, argnums=0)(x, u, th)
+                B = jax.jacobian(funcs.dyn, argnums=1)(x, u, th)
+                return A, B
+
+            def quad(x, u, th):
+                Q = jax.hessian(funcs.stage_cost, argnums=0)(x, u, th)
+                R = jax.hessian(funcs.stage_cost, argnums=1)(x, u, th)
+                S = jax.jacobian(jax.grad(funcs.stage_cost, argnums=1),
+                                 argnums=0)(x, u, th)
+                return Q, R, S
+
+            A, B = jax.vmap(lin)(X[:-1], U, theta[:-1])
+            Q, R, S = jax.vmap(quad)(X[:-1], U, theta[:-1])
+            P_T = jax.hessian(lambda x: funcs.term_cost(x, theta[-1]))(X[-1])
+            nxs, nus, N = dims.nx, dims.nu, dims.N
+            zq = jnp.zeros((N, nxs), X.dtype)
+            zr = jnp.zeros((N, nus), X.dtype)
+            zc = jnp.zeros((N, nxs), X.dtype)
+            K, *_ = backward_sweep(A, B, Q, S, R, zq, zr, zc, P_T,
+                                   jnp.zeros(nxs, X.dtype), reg=1e-8)
+            return K[0]
+
+        return jax.jit(gain)
+
+    def rti_prepare(self, x_pred=None, cp=None, tvp=None, ref=None,
+                    ref_sc=None, ref_tc=None):
+        """Preparation phase of real-time-iteration NMPC: solve the horizon
+        problem at the PREDICTED next state (before the measurement exists)
+        and cache the first input plus the first-stage Riccati feedback gain.
+        ``rti_feedback(x0)`` then returns the control for the measured state
+        in microseconds — control latency is decoupled from solve latency.
+
+        ``x_pred`` defaults to the one-step-ahead prediction of the previous
+        step; the first call must pass it explicitly. The reference has no
+        such split (every loop step pays a full IPOPT solve,
+        mpc.py:1778-1787)."""
+        if not self._setup_done:
+            raise RuntimeError("call setup() first")
+        if (self._augment_du or self._path_following
+                or self._min_time is not None or self._mi is not None):
+            raise NotImplementedError(
+                "RTI mode supports the standard NMPC formulation (no Δu "
+                "augmentation, path following, minimum time or discrete "
+                "inputs)")
+        if x_pred is None:
+            if self.last_prediction is None:
+                raise RuntimeError(
+                    "no prediction available yet — pass x_pred= on the first "
+                    "rti_prepare() call (e.g. the current measured state)")
+            x_pred = self.last_prediction["x"][1]
+        t0 = _time.perf_counter()
+        x_pred = np.asarray(x_pred, dtype=float).ravel()
+        if x_pred.size != self._model.n_x:
+            raise ValueError(f"x_pred has {x_pred.size} entries, expected "
+                             f"{self._model.n_x}")
+        theta = self._assemble_theta(cp, tvp, ref, ref_sc=ref_sc,
+                                     ref_tc=ref_tc)
+        xs_pred = self._solver_x0(x_pred)
+        X_init, U_init = self._initial_trajectory(xs_pred, theta)
+        dtype = self._solver_dtype
+        solver = (self._solve_warm_jit
+                  if (self._warm is not None and self._warm_start)
+                  else self._solve_jit)
+        sol = solver(self._bounds, jnp.asarray(theta, dtype),
+                     jnp.asarray(xs_pred, dtype), jnp.asarray(X_init, dtype),
+                     jnp.asarray(U_init, dtype))
+        if self._ip_opts.record_iterates:
+            sol, history = sol
+            self.iteration_history = {k: np.asarray(v)
+                                      for k, v in history.items()}
+        X, U = np.asarray(sol.X), np.asarray(sol.U)
+        if self._rti_gain_jit is None:
+            self._rti_gain_jit = self._build_rti_gain()
+        K0 = np.asarray(self._rti_gain_jit(sol.X, sol.U,
+                                           jnp.asarray(theta, dtype)))
+        self._warm = (X, U)
+        self._rti = {
+            "xs_pred": xs_pred, "theta": theta, "X": X, "U": U, "K0": K0,
+            "stats": {"iterations": int(sol.iterations),
+                      "kkt_error": float(sol.kkt_error),
+                      "objective": float(sol.objective),
+                      "converged": bool(sol.converged),
+                      "status": int(sol.status),
+                      "t_prepare": _time.perf_counter() - t0},
+        }
+        return self._rti["stats"]
+
+    def rti_feedback(self, x0):
+        """Feedback phase: instant control for the measured state.
+
+        Applies the projected tangential predictor
+        ``u_0 = clip(u_0* + K_0 (x0 − x_pred))`` using the gain cached by
+        ``rti_prepare`` — a few numpy flops, no solver call. Updates warm
+        start, prediction and the solution series like ``optimize``."""
+        if self._rti is None:
+            raise RuntimeError("call rti_prepare() first")
+        t0 = _time.perf_counter()
+        x0 = np.asarray(x0, dtype=float).ravel()
+        if x0.size != self._model.n_x:
+            raise ValueError(f"x0 has {x0.size} entries, expected "
+                             f"{self._model.n_x}")
+        d = self._rti
+        xs0 = self._solver_x0(x0)
+        U = d["U"].copy()
+        U[0] = U[0] + d["K0"] @ (xs0 - d["xs_pred"])
+        lbu = np.asarray(self._bounds.lbu)[0]
+        ubu = np.asarray(self._bounds.ubu)[0]
+        U[0] = np.clip(U[0], lbu, ubu)
+        nx, nu = self._model.n_x, self._model.n_u
+        u0 = U[0, :nu] * self._u_scaling
+        # refresh the prediction from the measured state with the corrected
+        # first move (one already-compiled rollout; feeds the next prepare)
+        dtype = self._solver_dtype
+        X_pred = np.asarray(self._rollout_guess_jit(
+            jnp.asarray(xs0, dtype), jnp.asarray(d["theta"], dtype),
+            jnp.asarray(U, dtype)))
+        self._u_old = u0.copy()
+        self.last_prediction = {
+            "x": X_pred[:, :nx] * self._x_scaling,
+            "u": U[:, :nu] * self._u_scaling,
+            "t": self._time + self._dt * np.arange(self._horizon + 1),
+        }
+        self._time += self._dt
+        self._step_count += 1
+        self.stats = {**d["stats"], "phase": "rti",
+                      "t_feedback": _time.perf_counter() - t0,
+                      "extime": d["stats"]["t_prepare"]}
+        if self.solution is not None:
+            self.solution.append(
+                self._time, x=x0, u=u0,
+                stats=np.array([self.stats["iterations"],
+                                self.stats["kkt_error"],
+                                self.stats["t_feedback"] * 1e3,
+                                float(self.stats["converged"])]))
+        self._rti = None
         return u0
 
     def print_stats(self):

@@ -1,0 +1,140 @@
+"""Real-time-iteration NMPC (prepare/feedback split).
+
+Beyond the reference: CasADi/IPOPT pays a full NLP solve inside the loop
+(reference: hilo_mpc/modules/controller/mpc.py:1778-1787); the RTI mode
+solves at the *predicted* state ahead of time and answers the measured
+state with the cached first move + first-stage Riccati feedback gain
+(projected tangential predictor) — control latency decoupled from solve
+latency.
+"""
+import numpy as np
+import pytest
+
+from hilo_mpc_tpu import NMPC
+from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
+
+P_CSTR = [1.0] * 6
+X_EQ = [0.3, 0.18055]
+U_EQ = -0.1194
+
+
+def _nmpc(N=8, **opts):
+    nmpc = NMPC(cstr_schaffner_and_zeitz())
+    nmpc.horizon = N
+    nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0], ref=X_EQ)
+    nmpc.quad_stage_cost.add_inputs(weights=0.1)
+    nmpc.set_box_constraints(u_lb=[-5.0], u_ub=[5.0])
+    nmpc.set_parameters(P_CSTR)
+    nmpc.setup(options={"dt": 0.1, **opts})
+    return nmpc
+
+
+def _plant():
+    plant = cstr_schaffner_and_zeitz()
+    plant.setup(dt=0.1, integration_method="rk4")
+    plant.set_initial_conditions([0.2, 0.1])
+    plant.set_initial_parameter_values(P_CSTR)
+    return plant
+
+
+class TestRTIClosedLoop:
+    def test_rti_tracks_setpoint_like_full_solve(self):
+        # full-solve loop
+        plant = _plant()
+        nmpc = _nmpc()
+        x = np.array([0.2, 0.1])
+        xs_full = [x]
+        for _ in range(25):
+            u = nmpc.optimize(x)
+            x = plant.simulate(u=u, steps=1)["x"][-1]
+            xs_full.append(x)
+        # RTI loop: first prepare at the measured state, then predict-ahead
+        plant = _plant()
+        rti = _nmpc()
+        x = np.array([0.2, 0.1])
+        rti.rti_prepare(x_pred=x)
+        xs_rti = [x]
+        fb_times = []
+        for _ in range(25):
+            u = rti.rti_feedback(x)
+            fb_times.append(rti.stats["t_feedback"])
+            x = plant.simulate(u=u, steps=1)["x"][-1]
+            xs_rti.append(x)
+            rti.rti_prepare()          # solve ahead at the predicted state
+        xs_full, xs_rti = np.array(xs_full), np.array(xs_rti)
+        # both loops reach the equilibrium
+        assert np.linalg.norm(xs_full[-1] - X_EQ) < 5e-3
+        assert np.linalg.norm(xs_rti[-1] - X_EQ) < 5e-3
+        # RTI trajectory stays close to the optimal closed loop throughout
+        assert np.max(np.abs(xs_rti - xs_full)) < 2e-2
+        # feedback phase is solver-free: orders of magnitude under a solve
+        assert np.median(fb_times) < 0.05
+        assert rti.stats["phase"] == "rti"
+
+    def test_feedback_is_linear_in_state_deviation(self):
+        rti = _nmpc()
+        x = np.array([0.25, 0.12])
+        rti.rti_prepare(x_pred=x)
+        K0 = rti._rti["K0"].copy()
+        U0 = rti._rti["U"][0].copy()
+        dx = np.array([1e-3, -2e-3])
+        u = rti.rti_feedback(x + dx)
+        # u = u* + K0 δx (in scaled coordinates; scalings are 1 here)
+        expected = U0 + K0 @ dx
+        np.testing.assert_allclose(u, expected * rti._u_scaling[0], atol=1e-12)
+
+    def test_feedback_respects_input_bounds(self):
+        rti = _nmpc()
+        x = np.array([0.25, 0.12])
+        rti.rti_prepare(x_pred=x)
+        u = rti.rti_feedback(x + np.array([5.0, -5.0]))  # huge deviation
+        assert -5.0 - 1e-12 <= u[0] <= 5.0 + 1e-12
+
+    def test_prepare_consumes_feedback_once(self):
+        rti = _nmpc()
+        rti.rti_prepare(x_pred=[0.25, 0.12])
+        rti.rti_feedback([0.25, 0.12])
+        with pytest.raises(RuntimeError, match="rti_prepare"):
+            rti.rti_feedback([0.25, 0.12])
+
+
+class TestRTIValidation:
+    def test_first_prepare_needs_x_pred(self):
+        rti = _nmpc()
+        with pytest.raises(RuntimeError, match="x_pred"):
+            rti.rti_prepare()
+
+    def test_prepare_before_setup(self):
+        nmpc = NMPC(cstr_schaffner_and_zeitz())
+        nmpc.horizon = 5
+        with pytest.raises(RuntimeError, match="setup"):
+            nmpc.rti_prepare(x_pred=[0.2, 0.1])
+
+    def test_wrong_x_pred_size(self):
+        rti = _nmpc()
+        with pytest.raises(ValueError, match="entries"):
+            rti.rti_prepare(x_pred=[0.2, 0.1, 0.3])
+
+    def test_wrong_feedback_size(self):
+        rti = _nmpc()
+        rti.rti_prepare(x_pred=[0.2, 0.1])
+        with pytest.raises(ValueError, match="entries"):
+            rti.rti_feedback([0.2])
+
+    def test_du_formulation_rejected(self):
+        nmpc = NMPC(cstr_schaffner_and_zeitz())
+        nmpc.horizon = 5
+        nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0], ref=X_EQ)
+        nmpc.quad_stage_cost.add_inputs_change(weights=0.1)
+        nmpc.set_parameters(P_CSTR)
+        nmpc.setup(options={"dt": 0.1})
+        with pytest.raises(NotImplementedError, match="RTI"):
+            nmpc.rti_prepare(x_pred=[0.2, 0.1])
+
+    def test_solution_series_records_rti_steps(self):
+        rti = _nmpc()
+        rti.rti_prepare(x_pred=[0.2, 0.1])
+        rti.rti_feedback([0.2, 0.1])
+        assert rti.solution.n_samples == 1
+        stats = np.asarray(rti.solution["stats"])
+        assert stats.shape[1] == 1  # one recorded step
