@@ -92,6 +92,7 @@ class SimpleControlLoop:
         self._plant = plant
         self._controller = controller
         self._observer = observer
+        self._rti = False
 
         # name-based mapping: controller model states -> plant state indices
         self._ctrl_idx = None
@@ -110,6 +111,13 @@ class SimpleControlLoop:
 
     def _control(self, x0, k, **kwargs):
         c = self._controller
+        if self._rti and hasattr(c, "rti_feedback"):
+            x_c = x0 if self._ctrl_idx is None else x0[self._ctrl_idx]
+            if k == 0 and c._rti is None:
+                c.rti_prepare(x_pred=x_c, **kwargs)
+            u = np.atleast_1d(np.asarray(c.rti_feedback(x_c)))
+            c.rti_prepare(**kwargs)   # solve ahead while the plant moves
+            return u
         if hasattr(c, "optimize"):
             x_c = x0 if self._ctrl_idx is None else x0[self._ctrl_idx]
             return np.atleast_1d(np.asarray(c.optimize(x_c, **kwargs)))
@@ -125,7 +133,7 @@ class SimpleControlLoop:
         raise TypeError(f"unsupported controller {type(c).__name__}")
 
     def run(self, steps: int, p=None, live_plot=False, live_plot_kwargs=None,
-            **kwargs):
+            rti: bool = False, **kwargs):
         """Run the closed loop. Extra kwargs (e.g. ref_sc / ref_tc setpoint
         dicts) are forwarded to the controller's optimize call each step, like
         the reference (control_loop.py:366,399).
@@ -142,6 +150,10 @@ class SimpleControlLoop:
         if plant.solution is None or plant.solution.n_samples == 0:
             raise RuntimeError("set plant initial conditions first "
                                "(plant.set_initial_conditions(x0))")
+        if rti and not hasattr(self._controller, "rti_feedback"):
+            raise TypeError("rti=True needs a controller with an RTI mode "
+                            f"(NMPC); got {type(self._controller).__name__}")
+        self._rti = rti
         plotter = _make_live_plotter(self.solution, live_plot,
                                      **(live_plot_kwargs or {}))
         x0 = plant.solution["x:f"]

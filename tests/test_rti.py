@@ -131,6 +131,24 @@ class TestRTIValidation:
         with pytest.raises(NotImplementedError, match="RTI"):
             nmpc.rti_prepare(x_pred=[0.2, 0.1])
 
+    def test_control_loop_rti_mode(self):
+        from hilo_mpc_tpu import SimpleControlLoop
+
+        plant = _plant()
+        loop = SimpleControlLoop(plant, _nmpc())
+        sol = loop.run(20, rti=True)
+        assert sol.n_samples == 20
+        x_fin = np.asarray(sol["x:f"]).ravel()
+        assert np.linalg.norm(x_fin - X_EQ) < 1e-2
+
+    def test_control_loop_rti_needs_capable_controller(self):
+        from hilo_mpc_tpu import SimpleControlLoop
+
+        plant = _plant()
+        loop = SimpleControlLoop(plant, lambda x: np.zeros(1))
+        with pytest.raises(TypeError, match="rti"):
+            loop.run(2, rti=True)
+
     def test_solution_series_records_rti_steps(self):
         rti = _nmpc()
         rti.rti_prepare(x_pred=[0.2, 0.1])
