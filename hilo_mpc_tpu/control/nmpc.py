@@ -92,7 +92,9 @@ class NMPC:
         self._theta_path0 = 0.0
         self._warm = None          # previous (X, U) scaled solution for warm start
         self._rti = None           # prepared RTI data (rti_prepare/rti_feedback)
+        self._rti_pending = None   # (xs0, U) applied by the last feedback phase
         self._rti_gain_jit = None  # lazy: Riccati gain extraction at a solution
+        self._dyn_step_jit = None  # lazy: one-step dynamics for x_pred refresh
         self.solution: Optional[TimeSeries] = None
         self.last_prediction = None
         self.stats: dict = {}
@@ -1162,17 +1164,33 @@ class NMPC:
                 "RTI mode supports the standard NMPC formulation (no Δu "
                 "augmentation, path following, minimum time or discrete "
                 "inputs)")
+        t0 = _time.perf_counter()
+        nx = self._model.n_x
         if x_pred is None:
-            if self.last_prediction is None:
+            pend = self._rti_pending
+            if pend is not None:
+                # propagate the measured state under the applied move — the
+                # device call the feedback phase deliberately skips so its
+                # latency stays in numpy territory
+                if self._dyn_step_jit is None:
+                    self._dyn_step_jit = jax.jit(self._funcs.dyn)
+                dtype_ = self._solver_dtype
+                xs_pred = np.asarray(self._dyn_step_jit(
+                    jnp.asarray(pend["xs0"], dtype_),
+                    jnp.asarray(pend["U"][0], dtype_),
+                    jnp.asarray(pend["theta"][0], dtype_)))
+                x_pred = xs_pred[:nx] * self._x_scaling
+            elif self.last_prediction is not None:
+                x_pred = self.last_prediction["x"][1]
+            else:
                 raise RuntimeError(
                     "no prediction available yet — pass x_pred= on the first "
                     "rti_prepare() call (e.g. the current measured state)")
-            x_pred = self.last_prediction["x"][1]
-        t0 = _time.perf_counter()
         x_pred = np.asarray(x_pred, dtype=float).ravel()
         if x_pred.size != self._model.n_x:
             raise ValueError(f"x_pred has {x_pred.size} entries, expected "
                              f"{self._model.n_x}")
+        self._rti_pending = None
         theta = self._assemble_theta(cp, tvp, ref, ref_sc=ref_sc,
                                      ref_tc=ref_tc)
         xs_pred = self._solver_x0(x_pred)
@@ -1194,6 +1212,12 @@ class NMPC:
         K0 = np.asarray(self._rti_gain_jit(sol.X, sol.U,
                                            jnp.asarray(theta, dtype)))
         self._warm = (X, U)
+        nu = self._model.n_u
+        self.last_prediction = {
+            "x": X[:, :nx] * self._x_scaling,
+            "u": U[:, :nu] * self._u_scaling,
+            "t": self._time + self._dt * np.arange(self._horizon + 1),
+        }
         self._rti = {
             "xs_pred": xs_pred, "theta": theta, "X": X, "U": U, "K0": K0,
             "stats": {"iterations": int(sol.iterations),
@@ -1210,8 +1234,10 @@ class NMPC:
 
         Applies the projected tangential predictor
         ``u_0 = clip(u_0* + K_0 (x0 − x_pred))`` using the gain cached by
-        ``rti_prepare`` — a few numpy flops, no solver call. Updates warm
-        start, prediction and the solution series like ``optimize``."""
+        ``rti_prepare`` — a few numpy flops, NO device call (the prediction
+        refresh is deferred to the next ``rti_prepare``), so the latency is
+        microseconds even on remote-dispatch backends. Updates the solution
+        series like ``optimize``."""
         if self._rti is None:
             raise RuntimeError("call rti_prepare() first")
         t0 = _time.perf_counter()
@@ -1226,20 +1252,13 @@ class NMPC:
         lbu = np.asarray(self._bounds.lbu)[0]
         ubu = np.asarray(self._bounds.ubu)[0]
         U[0] = np.clip(U[0], lbu, ubu)
-        nx, nu = self._model.n_x, self._model.n_u
+        nu = self._model.n_u
         u0 = U[0, :nu] * self._u_scaling
-        # refresh the prediction from the measured state with the corrected
-        # first move (one already-compiled rollout; feeds the next prepare)
-        dtype = self._solver_dtype
-        X_pred = np.asarray(self._rollout_guess_jit(
-            jnp.asarray(xs0, dtype), jnp.asarray(d["theta"], dtype),
-            jnp.asarray(U, dtype)))
         self._u_old = u0.copy()
-        self.last_prediction = {
-            "x": X_pred[:, :nx] * self._x_scaling,
-            "u": U[:, :nu] * self._u_scaling,
-            "t": self._time + self._dt * np.arange(self._horizon + 1),
-        }
+        # NO device call here: the feedback phase is pure numpy (a matvec, a
+        # clip) so its latency is microseconds even on remote backends; the
+        # prediction refresh from (xs0, u0) happens in the NEXT rti_prepare
+        self._rti_pending = {"xs0": xs0, "U": U, "theta": d["theta"]}
         self._time += self._dt
         self._step_count += 1
         self.stats = {**d["stats"], "phase": "rti",
