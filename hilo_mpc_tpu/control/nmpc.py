@@ -93,6 +93,8 @@ class NMPC:
         self._warm = None          # previous (X, U) scaled solution for warm start
         self._rti = None           # prepared RTI data (rti_prepare/rti_feedback)
         self._rti_pending = None   # (xs0, U) applied by the last feedback phase
+        self._rti_batch = None     # prepared batched-RTI data
+        self._rti_gain_batch_jit = None
         self._rti_gain_jit = None  # lazy: Riccati gain extraction at a solution
         self._dyn_step_jit = None  # lazy: one-step dynamics for x_pred refresh
         self.solution: Optional[TimeSeries] = None
@@ -1142,7 +1144,7 @@ class NMPC:
                                    jnp.zeros(nxs, X.dtype), reg=1e-8)
             return K[0]
 
-        return jax.jit(gain)
+        return gain
 
     def rti_prepare(self, x_pred=None, cp=None, tvp=None, ref=None,
                     ref_sc=None, ref_tc=None):
@@ -1208,7 +1210,7 @@ class NMPC:
                                       for k, v in history.items()}
         X, U = np.asarray(sol.X), np.asarray(sol.U)
         if self._rti_gain_jit is None:
-            self._rti_gain_jit = self._build_rti_gain()
+            self._rti_gain_jit = jax.jit(self._build_rti_gain())
         K0 = np.asarray(self._rti_gain_jit(sol.X, sol.U,
                                            jnp.asarray(theta, dtype)))
         self._warm = (X, U)
@@ -1481,6 +1483,57 @@ class NMPC:
         theta_B = np.tile(theta[None], (B, 1, 1))
         return (jnp.asarray(theta_B, dtype), jnp.asarray(xs0, dtype),
                 jnp.asarray(X_B, dtype), jnp.asarray(U_B, dtype))
+
+    def rti_prepare_batch(self, x_pred_batch, cp=None, tvp=None, ref=None):
+        """Batched RTI preparation: solve B horizon problems at the predicted
+        states AND extract every first-stage Riccati gain, all in one device
+        dispatch. ``rti_feedback_batch(x0_batch)`` then answers B measured
+        states with a single numpy einsum — the scenario-fleet analogue of
+        ``rti_prepare``/``rti_feedback``."""
+        if not self._setup_done:
+            raise RuntimeError("call setup() first")
+        if (self._augment_du or self._path_following
+                or self._min_time is not None or self._mi is not None):
+            raise NotImplementedError(
+                "RTI mode supports the standard NMPC formulation (no Δu "
+                "augmentation, path following, minimum time or discrete "
+                "inputs)")
+        if self._solve_batch_jit is None:
+            self._solve_batch_jit = self.solve_batch_fn()
+        if getattr(self, "_rti_gain_batch_jit", None) is None:
+            self._rti_gain_batch_jit = jax.jit(
+                jax.vmap(self._build_rti_gain()))
+        args = self.prepare_batch(x_pred_batch, cp, tvp, ref)
+        sol = self._solve_batch_jit(*args)
+        K0_B = np.asarray(self._rti_gain_batch_jit(sol.X, sol.U, args[0]))
+        xs_pred_B = np.asarray(args[1])
+        self._rti_batch = {
+            "xs_pred": xs_pred_B, "U": np.asarray(sol.U), "K0": K0_B,
+            "converged": np.asarray(sol.converged),
+        }
+        return self._rti_batch
+
+    def rti_feedback_batch(self, x0_batch):
+        """Batched feedback phase: (B, n_u) first moves for B measured states
+        from the gains cached by ``rti_prepare_batch`` — one einsum + clip,
+        no device call."""
+        if getattr(self, "_rti_batch", None) is None:
+            raise RuntimeError("call rti_prepare_batch() first")
+        d = self._rti_batch
+        x0_batch = np.atleast_2d(np.asarray(x0_batch, dtype=float))
+        B = x0_batch.shape[0]
+        if B != d["xs_pred"].shape[0]:
+            raise ValueError(f"x0_batch has {B} scenarios, prepared "
+                             f"{d['xs_pred'].shape[0]}")
+        xs0 = x0_batch / self._x_scaling
+        U0 = d["U"][:, 0, :] + np.einsum("bij,bj->bi", d["K0"],
+                                         xs0 - d["xs_pred"])
+        lbu = np.asarray(self._bounds.lbu)[0]
+        ubu = np.asarray(self._bounds.ubu)[0]
+        U0 = np.clip(U0, lbu, ubu)
+        nu = self._model.n_u
+        self._rti_batch = None
+        return U0[:, :nu] * self._u_scaling
 
     def optimize_batch(self, x0_batch, cp=None, tvp=None, ref=None):
         """Solve B independent MPC problems at once; returns (B, n_u) first moves."""

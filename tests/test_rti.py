@@ -98,6 +98,45 @@ class TestRTIClosedLoop:
             rti.rti_feedback([0.25, 0.12])
 
 
+class TestBatchedRTI:
+    def test_batched_feedback_matches_scalar_rti(self):
+        B = 6
+        rng = np.random.default_rng(0)
+        x_pred = np.array([0.25, 0.12]) + 0.02 * rng.standard_normal((B, 2))
+        dx = 1e-3 * rng.standard_normal((B, 2))
+
+        batched = _nmpc()
+        batched.rti_prepare_batch(x_pred)
+        U0 = batched.rti_feedback_batch(x_pred + dx)
+        assert U0.shape == (B, 1)
+
+        # scalar RTI on each scenario gives the same moves (the batched path
+        # is the same solver + gain, vmapped)
+        for i in range(B):
+            scalar = _nmpc()
+            scalar.rti_prepare(x_pred=x_pred[i])
+            u_i = scalar.rti_feedback(x_pred[i] + dx[i])
+            np.testing.assert_allclose(U0[i], u_i, atol=1e-6)
+
+    def test_batched_feedback_clips_bounds(self):
+        batched = _nmpc()
+        x_pred = np.tile([0.25, 0.12], (3, 1))
+        batched.rti_prepare_batch(x_pred)
+        U0 = batched.rti_feedback_batch(x_pred + 10.0)
+        assert np.all(U0 >= -5.0 - 1e-12) and np.all(U0 <= 5.0 + 1e-12)
+
+    def test_batched_feedback_requires_prepare(self):
+        nmpc = _nmpc()
+        with pytest.raises(RuntimeError, match="rti_prepare_batch"):
+            nmpc.rti_feedback_batch(np.zeros((2, 2)))
+
+    def test_batch_size_mismatch(self):
+        nmpc = _nmpc()
+        nmpc.rti_prepare_batch(np.tile([0.25, 0.12], (3, 1)))
+        with pytest.raises(ValueError, match="scenarios"):
+            nmpc.rti_feedback_batch(np.zeros((2, 2)))
+
+
 class TestRTIValidation:
     def test_first_prepare_needs_x_pred(self):
         rti = _nmpc()
