@@ -98,6 +98,29 @@ class TestRTIClosedLoop:
             rti.rti_feedback([0.25, 0.12])
 
 
+class TestGainIsSolutionSensitivity:
+    def test_K0_matches_finite_difference_du_dx0(self):
+        # away from active constraints, the exact-Hessian gain would equal
+        # ∂u0*/∂x0 of the full NLP; ours is the Gauss-Newton gain (cost
+        # curvature only, no λᵀ∇²f term), so the dominant entry matches to
+        # ~1e-3 relative and the whole row to the GN approximation error
+        nmpc = _nmpc(N=10, tol=1e-9, max_iter=60)
+        x = np.array([0.27, 0.15])
+        nmpc.rti_prepare(x_pred=x)
+        K0 = nmpc._rti["K0"].copy()
+        h = 1e-5
+        fd = np.zeros((1, 2))
+        for j in range(2):
+            e = np.zeros(2)
+            e[j] = h
+            up = _nmpc(N=10, tol=1e-9, max_iter=60).optimize(x + e)
+            um = _nmpc(N=10, tol=1e-9, max_iter=60).optimize(x - e)
+            fd[:, j] = (up - um) / (2 * h)
+        j_dom = int(np.argmax(np.abs(fd[0])))
+        np.testing.assert_allclose(K0[0, j_dom], fd[0, j_dom], rtol=1e-2)
+        np.testing.assert_allclose(K0, fd, atol=2e-2)
+
+
 class TestBatchedRTI:
     def test_batched_feedback_matches_scalar_rti(self):
         B = 6
