@@ -1110,8 +1110,10 @@ class NMPC:
         """Jitted first-stage Riccati feedback gain at a solved trajectory.
 
         Linearizes the dynamics and quadratizes the cost along (X, U), runs the
-        backward Riccati sweep (ops/riccati.py) and returns K_0 — the exact
-        derivative of the unconstrained LQ policy w.r.t. the initial state. The
+        backward Riccati sweep (ops/riccati.py) and returns K_0 — the
+        Gauss-Newton approximation of ∂u0*/∂x0 (cost curvature only; the
+        λᵀ∇²f Lagrangian term is omitted, standard for RTI schemes — validated
+        against finite-difference NLP sensitivities in tests/test_rti.py). The
         feedback phase applies u_0 + K_0 δx0 (projected onto the input box),
         the tangential predictor of advanced-step / real-time-iteration NMPC.
         Beyond the reference: CasADi/IPOPT has no prepare/feedback split
