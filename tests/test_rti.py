@@ -203,6 +203,21 @@ class TestRTIValidation:
         x_fin = np.asarray(sol["x:f"]).ravel()
         assert np.linalg.norm(x_fin - X_EQ) < 1e-2
 
+    def test_control_loop_rti_with_observer(self):
+        from hilo_mpc_tpu import ExtendedKalmanFilter, SimpleControlLoop
+
+        plant = _plant()
+        ekf_model = cstr_schaffner_and_zeitz()
+        ekf_model.setup(dt=0.1, integration_method="rk4")
+        kf = ExtendedKalmanFilter(ekf_model)
+        kf.setup()
+        kf.set_initial_guess([0.2, 0.1])
+        kf.set_initial_parameter_values(P_CSTR)
+        loop = SimpleControlLoop(plant, _nmpc(), kf)
+        sol = loop.run(15, rti=True)
+        x_fin = np.asarray(sol["x:f"]).ravel()
+        assert np.linalg.norm(x_fin - X_EQ) < 2e-2
+
     def test_control_loop_rti_needs_capable_controller(self):
         from hilo_mpc_tpu import SimpleControlLoop
 
