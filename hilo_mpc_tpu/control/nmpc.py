@@ -1486,12 +1486,17 @@ class NMPC:
         return (jnp.asarray(theta_B, dtype), jnp.asarray(xs0, dtype),
                 jnp.asarray(X_B, dtype), jnp.asarray(U_B, dtype))
 
-    def rti_prepare_batch(self, x_pred_batch, cp=None, tvp=None, ref=None):
+    def rti_prepare_batch(self, x_pred_batch, cp=None, tvp=None, ref=None,
+                          warm: bool = False):
         """Batched RTI preparation: solve B horizon problems at the predicted
         states AND extract every first-stage Riccati gain, all in one device
         dispatch. ``rti_feedback_batch(x0_batch)`` then answers B measured
         states with a single numpy einsum — the scenario-fleet analogue of
-        ``rti_prepare``/``rti_feedback``."""
+        ``rti_prepare``/``rti_feedback``.
+
+        ``warm=True`` (fleet closed-loop regime) shift-initializes every
+        scenario from the previous batch solution and uses the warm-start
+        barrier schedule — same semantics as the scalar warm path."""
         if not self._setup_done:
             raise RuntimeError("call setup() first")
         if (self._augment_du or self._path_following
@@ -1506,9 +1511,27 @@ class NMPC:
             self._rti_gain_batch_jit = jax.jit(
                 jax.vmap(self._build_rti_gain()))
         args = self.prepare_batch(x_pred_batch, cp, tvp, ref)
-        sol = self._solve_batch_jit(*args)
+        prev = getattr(self, "_rti_batch_warm", None)
+        use_warm = (warm and prev is not None
+                    and prev[0].shape == args[2].shape)
+        if use_warm:
+            X_prev, U_prev = prev
+            # shift-initialization per scenario (cf. _initial_trajectory)
+            xs0 = np.asarray(args[1])
+            X_w = np.concatenate(
+                [xs0[:, None], X_prev[:, 2:], X_prev[:, -1:]], axis=1)
+            U_w = np.concatenate([U_prev[:, 1:], U_prev[:, -1:]], axis=1)
+            dtype = self._solver_dtype
+            args = (args[0], args[1], jnp.asarray(X_w, dtype),
+                    jnp.asarray(U_w, dtype))
+            if getattr(self, "_solve_batch_warm_jit", None) is None:
+                self._solve_batch_warm_jit = self.solve_batch_fn(warm=True)
+            sol = self._solve_batch_warm_jit(*args)
+        else:
+            sol = self._solve_batch_jit(*args)
         K0_B = np.asarray(self._rti_gain_batch_jit(sol.X, sol.U, args[0]))
         xs_pred_B = np.asarray(args[1])
+        self._rti_batch_warm = (np.asarray(sol.X), np.asarray(sol.U))
         self._rti_batch = {
             "xs_pred": xs_pred_B, "U": np.asarray(sol.U), "K0": K0_B,
             "converged": np.asarray(sol.converged),

@@ -495,11 +495,24 @@ class Model:
 
     # -- initial conditions ---------------------------------------------------
     def set_initial_conditions(self, x0, z0=None):
+        if (self.solution is not None and self.solution.n_samples > 1):
+            # reference parity (dynamic_model.py:3385-3394): once simulated,
+            # new initial conditions are NOT silently applied — simulate()
+            # would keep continuing from the stored trajectory tail
+            import warnings
+            warnings.warn(
+                "The model has already been simulated — call reset_solution() "
+                "to record a new trajectory (no changes applied); for "
+                "stateless one-off rollouts from arbitrary states use "
+                "simulate(x0=..., ...) instead")
+            return self
         self._x0 = np.atleast_1d(np.asarray(x0, dtype=float)).ravel()
         if self._x0.size != self.n_x:
             raise ValueError(f"x0 has {self._x0.size} entries, expected {self.n_x}")
         if z0 is not None:
             self._z0 = np.atleast_1d(np.asarray(z0, dtype=float)).ravel()
+        if self.solution is not None and self.solution.n_samples == 1:
+            self.solution.reset()   # re-setting before any simulate: overwrite
         if self.solution is not None and self.solution.n_samples == 0:
             z0v = self._z0 if self._z0 is not None else np.zeros(self.n_z)
             y0 = np.asarray(self.meas_fn()(

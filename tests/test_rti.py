@@ -141,6 +141,22 @@ class TestBatchedRTI:
             u_i = scalar.rti_feedback(x_pred[i] + dx[i])
             np.testing.assert_allclose(U0[i], u_i, atol=1e-6)
 
+    def test_warm_batched_rti_fleet_loop(self):
+        # a fleet of closed loops driven by warm batched RTI converges to the
+        # equilibrium from every start
+        B = 8
+        rng = np.random.default_rng(2)
+        nmpc = _nmpc()
+        X = np.array([0.2, 0.1]) + 0.03 * rng.standard_normal((B, 2))
+        nmpc.rti_prepare_batch(X)
+        plant = _plant()  # batched stateless rollouts via simulate(x0=...)
+        for k in range(25):
+            U = nmpc.rti_feedback_batch(X)
+            out = plant.simulate(x0=X, u=U[:, None, :], p=P_CSTR, steps=1)
+            X = np.asarray(out["x"])[:, -1, :]
+            nmpc.rti_prepare_batch(X, warm=True)
+        assert np.max(np.linalg.norm(X - X_EQ, axis=1)) < 1e-2
+
     def test_batched_feedback_clips_bounds(self):
         batched = _nmpc()
         x_pred = np.tile([0.25, 0.12], (3, 1))
