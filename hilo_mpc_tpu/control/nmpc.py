@@ -1217,6 +1217,10 @@ class NMPC:
                                            jnp.asarray(theta, dtype)))
         self._warm = (X, U)
         nu = self._model.n_u
+        # Timestamp convention: rti_feedback advances self._time BEFORE the
+        # next prepare, so self._time is already the sampling instant of
+        # x_pred both on the pending-propagation path and on the first
+        # explicit-x_pred call — the horizon base is self._time in either case.
         self.last_prediction = {
             "x": X[:, :nx] * self._x_scaling,
             "u": U[:, :nu] * self._u_scaling,

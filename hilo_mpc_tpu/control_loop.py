@@ -81,6 +81,12 @@ def _make_live_plotter(solution, live_plot, **kwargs):
         from .utils.plotting_bokeh import LiveBokehLoopPlot
 
         return LiveBokehLoopPlot(solution, **kwargs)
+    if kwargs:
+        import warnings
+
+        warnings.warn(
+            "live_plot_kwargs are only used by the bokeh live backend; "
+            f"ignored on matplotlib: {sorted(kwargs)}", stacklevel=3)
     return _LiveLoopPlot(solution)
 
 
@@ -93,6 +99,7 @@ class SimpleControlLoop:
         self._controller = controller
         self._observer = observer
         self._rti = False
+        self._rti_skipped_prepare = False
 
         # name-based mapping: controller model states -> plant state indices
         self._ctrl_idx = None
@@ -109,14 +116,20 @@ class SimpleControlLoop:
         self.solution.register("u", plant.inputs)
         self.solution.register("y", plant.measurements)
 
-    def _control(self, x0, k, **kwargs):
+    def _control(self, x0, k, last=False, **kwargs):
         c = self._controller
         if self._rti and hasattr(c, "rti_feedback"):
             x_c = x0 if self._ctrl_idx is None else x0[self._ctrl_idx]
-            if k == 0 and c._rti is None:
+            if c._rti is None or self._rti_skipped_prepare:
                 c.rti_prepare(x_pred=x_c, **kwargs)
+                self._rti_skipped_prepare = False
             u = np.atleast_1d(np.asarray(c.rti_feedback(x_c)))
-            c.rti_prepare(**kwargs)   # solve ahead while the plant moves
+            if last:
+                # the trailing solve-ahead would be discarded; a subsequent
+                # run() re-prepares at the state it actually observes
+                self._rti_skipped_prepare = True
+            else:
+                c.rti_prepare(**kwargs)   # solve ahead while the plant moves
             return u
         if hasattr(c, "optimize"):
             x_c = x0 if self._ctrl_idx is None else x0[self._ctrl_idx]
@@ -158,7 +171,7 @@ class SimpleControlLoop:
                                      **(live_plot_kwargs or {}))
         x0 = plant.solution["x:f"]
         for k in range(steps):
-            u = self._control(x0, k, **kwargs)
+            u = self._control(x0, k, last=(k == steps - 1), **kwargs)
             out = plant.simulate(u=u, p=p, steps=1)
             x_true = out["x"][-1]
             y = out["y"][-1]

@@ -559,6 +559,47 @@ class Model:
             raise ValueError(f"u has shape {u.shape}, expected {(steps, self.n_u)}")
         return u
 
+    def _coerce_u_batched(self, u, steps: int, batch: int):
+        """Coerce u for a batched rollout. Returns ``(U, per_scenario)``.
+
+        Per-scenario inputs (reference semantics: simulate honors the u it is
+        given per call, dynamic_model.py:3942-3990) are accepted as
+        ``(B, steps, n_u)``, or ``(B, n_u)`` held over all steps. A 2-D u that
+        also parses as the shared ``(steps, n_u)`` layout keeps the shared
+        interpretation for backward compatibility.
+        """
+        if u is None:
+            return self._coerce_u(None, steps), False
+        u_arr = np.asarray(u, dtype=float)
+        if u_arr.ndim == 3:
+            if u_arr.shape != (batch, steps, self.n_u):
+                raise ValueError(
+                    f"per-scenario u has shape {u_arr.shape}, expected "
+                    f"{(batch, steps, self.n_u)}")
+            return u_arr, True
+        if (u_arr.ndim == 2 and u_arr.shape == (batch, self.n_u)
+                and u_arr.shape != (steps, self.n_u)):
+            return (np.broadcast_to(u_arr[:, None, :],
+                                    (batch, steps, self.n_u)).copy(), True)
+        return self._coerce_u(u_arr, steps), False
+
+    def _coerce_p_batched(self, p, steps: int, batch: int):
+        """Batched analogue of :meth:`_coerce_p`; see ``_coerce_u_batched``."""
+        if p is None:
+            return self._coerce_p(None, steps), False
+        p_arr = np.asarray(p, dtype=float)
+        if p_arr.ndim == 3:
+            if p_arr.shape != (batch, steps, self.n_p):
+                raise ValueError(
+                    f"per-scenario p has shape {p_arr.shape}, expected "
+                    f"{(batch, steps, self.n_p)}")
+            return p_arr, True
+        if (p_arr.ndim == 2 and p_arr.shape == (batch, self.n_p)
+                and p_arr.shape != (steps, self.n_p)):
+            return (np.broadcast_to(p_arr[:, None, :],
+                                    (batch, steps, self.n_p)).copy(), True)
+        return self._coerce_p(p_arr, steps), False
+
     def _coerce_p(self, p, steps: int) -> np.ndarray:
         if p is None:
             if self._p0 is not None:
@@ -612,7 +653,9 @@ class Model:
         if steps is None:
             if u is not None:
                 u_arr = np.asarray(u, dtype=float)
-                if u_arr.ndim == 2:
+                if u_arr.ndim == 3:
+                    steps = u_arr.shape[1]
+                elif u_arr.ndim == 2:
                     steps = u_arr.shape[0] if u_arr.shape[1] == self.n_u else u_arr.shape[1]
                 elif u_arr.ndim == 1 and self.n_u == 1:
                     steps = u_arr.size
@@ -637,19 +680,26 @@ class Model:
             z0 = np.nan_to_num(np.asarray(z0, dtype=float))
             if batched:
                 z0 = np.tile(z0, (x0.shape[0], 1))
-        U = self._coerce_u(u, steps)
-        P = self._coerce_p(p, steps)
         t_start = self._time if t0 is None else float(t0)
 
         dtype = self._dtype
         if batched:
+            B = x0.shape[0]
+            U, u_per = self._coerce_u_batched(u, steps, B)
+            P, p_per = self._coerce_p_batched(p, steps, B)
+            key = (u_per, p_per)
             if self._rollout_batched_jit is None:
-                self._rollout_batched_jit = jax.jit(
-                    jax.vmap(self.rollout_fn(), in_axes=(0, 0, None, None, None)))
-            out = self._rollout_batched_jit(
+                self._rollout_batched_jit = {}
+            if key not in self._rollout_batched_jit:
+                in_axes = (0, 0, 0 if u_per else None, 0 if p_per else None, None)
+                self._rollout_batched_jit[key] = jax.jit(
+                    jax.vmap(self.rollout_fn(), in_axes=in_axes))
+            out = self._rollout_batched_jit[key](
                 jnp.asarray(x0, dtype), jnp.asarray(z0, dtype),
                 jnp.asarray(U, dtype), jnp.asarray(P, dtype), t_start)
             return {k: np.asarray(v) for k, v in out.items()}
+        U = self._coerce_u(u, steps)
+        P = self._coerce_p(p, steps)
 
         if self._rollout_jit is None:
             self._rollout_jit = jax.jit(self.rollout_fn())

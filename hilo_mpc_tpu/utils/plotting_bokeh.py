@@ -115,7 +115,7 @@ class LiveBokehLoopPlot:
         self._save_as = str(save_as)
         self._mode = mode
         self._refresh_s = float(refresh_s)
-        self._n_sent = 0  # samples already streamed
+        self._n_sent = None  # per-panel samples already streamed
         self.n_draws = 0
 
         self._panels = _collect_panels(series, kinds, None)
@@ -142,14 +142,17 @@ class LiveBokehLoopPlot:
     def _new_rows(self):
         np = self._np
         t = np.asarray(self._series["t"], dtype=float).ravel()
-        lo = self._n_sent
+        if self._n_sent is None:
+            self._n_sent = [0] * len(self._panels)
         rows = []
-        for (kind, nm) in self._panels:
+        # panels may grow at different rates (a series appended less often);
+        # a per-panel sent counter keeps each stream gapless and duplicate-free
+        for j, (kind, nm) in enumerate(self._panels):
             v = np.asarray(self._series[nm], dtype=float).ravel()
+            lo = self._n_sent[j]
             hi = min(len(t), len(v))
             rows.append({"t": list(t[lo:hi]), "v": list(v[lo:hi])})
-        if rows:
-            self._n_sent = lo + len(rows[0]["t"])
+            self._n_sent[j] = max(lo, hi)
         return rows
 
     def update(self):

@@ -103,6 +103,46 @@ class TestSimulation:
         np.testing.assert_allclose(out["x"][:, -1, 0], x0[:, 0] * np.exp(-0.5),
                                    rtol=1e-6)
 
+    def test_batched_simulate_per_scenario_u(self):
+        # reference semantics: simulate honors the u it is given per call
+        # (dynamic_model.py:3942-3990); batched path accepts (B, steps, n_u)
+        m = Model()
+        m.set_dynamical_states("x")
+        m.set_inputs("u")
+        m.set_dynamical_equations(lambda x, u: -x + u)
+        m.setup(dt=0.1, integration_method="rk4")
+        B, steps = 6, 4
+        x0 = np.zeros((B, 1))
+        U = np.linspace(-1.0, 1.0, B).reshape(B, 1, 1) * np.ones((B, steps, 1))
+        out = m.simulate(x0=x0, u=U, steps=steps)
+        assert out["x"].shape == (B, steps, 1)
+        # each scenario relaxes toward its own constant input level
+        expected = U[:, 0, 0] * (1.0 - np.exp(-0.1 * steps))
+        np.testing.assert_allclose(out["x"][:, -1, 0], expected, atol=1e-5)
+        # (B, n_u) held over all steps gives the same trajectories
+        out2 = m.simulate(x0=x0, u=U[:, 0, :], steps=steps)
+        np.testing.assert_allclose(out2["x"], out["x"], rtol=1e-12)
+        # shape errors are caught eagerly
+        with np.testing.assert_raises(ValueError):
+            m.simulate(x0=x0, u=np.zeros((B, steps + 1, 1)), steps=steps)
+
+    def test_batched_simulate_per_scenario_p(self):
+        m = Model()
+        m.set_dynamical_states("x")
+        m.set_parameters("k")
+        m.set_dynamical_equations(lambda x, p: -p * x)
+        m.setup(dt=0.1, integration_method="rk4")
+        B, steps = 5, 10
+        x0 = np.ones((B, 1))
+        K = np.linspace(0.5, 2.5, B).reshape(B, 1)
+        out = m.simulate(x0=x0, p=K, steps=steps)
+        np.testing.assert_allclose(out["x"][:, -1, 0], np.exp(-K[:, 0]),
+                                   atol=1e-4)
+        # shared p still works alongside per-scenario x0
+        out_shared = m.simulate(x0=x0, p=[1.0], steps=steps)
+        np.testing.assert_allclose(out_shared["x"][:, -1, 0],
+                                   np.full(B, np.exp(-1.0)), atol=1e-6)
+
     def test_discrete_model(self):
         m = Model(discrete=True)
         m.set_dynamical_states("x")
