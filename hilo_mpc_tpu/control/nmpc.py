@@ -93,6 +93,10 @@ class NMPC:
         self._warm = None          # previous (X, U) scaled solution for warm start
         self._rti = None           # prepared RTI data (rti_prepare/rti_feedback)
         self._rti_pending = None   # (xs0, U) applied by the last feedback phase
+        self.rti_gn_iterations = None  # int k: prepare runs exactly k GN/IP
+        #   iterations (classical single-iteration RTI at k=1) instead of a
+        #   full solve; None = full-solve (advanced-step) prepare
+        self._rti_gn_jit = None    # lazy: fixed-iteration prepare solver
         self._rti_batch = None     # prepared batched-RTI data
         self._rti_gain_batch_jit = None
         self._rti_gain_jit = None  # lazy: Riccati gain extraction at a solution
@@ -1148,6 +1152,22 @@ class NMPC:
 
         return gain
 
+    def _get_rti_gn_jit(self):
+        """Fixed-iteration prepare solver for classical RTI: exactly
+        ``rti_gn_iterations`` Gauss-Newton/barrier steps (each = one Riccati
+        factor+solve), no convergence early-exit, warm barrier."""
+        k = int(self.rti_gn_iterations)
+        if self._rti_gn_jit is None or self._rti_gn_jit[0] != k:
+            import dataclasses as _dc
+            opts = _dc.replace(self._ip_opts, max_iter=k, early_exit=False,
+                               mu_init=min(self._ip_opts.mu_init, 1e-3),
+                               record_iterates=False)
+            solver = partial(solve_ocp, self._funcs, self._dims,
+                             options=opts, fix_x0=True)
+            self._rti_gn_jit = (k, jax.jit(
+                lambda b, th, x0, Xi, Ui: solver(b, th, x0, Xi, Ui)))
+        return self._rti_gn_jit[1]
+
     def rti_prepare(self, x_pred=None, cp=None, tvp=None, ref=None,
                     ref_sc=None, ref_tc=None):
         """Preparation phase of real-time-iteration NMPC: solve the horizon
@@ -1162,11 +1182,11 @@ class NMPC:
         mpc.py:1778-1787)."""
         if not self._setup_done:
             raise RuntimeError("call setup() first")
-        if (self._augment_du or self._path_following
-                or self._min_time is not None or self._mi is not None):
+        if (self._path_following or self._min_time is not None
+                or self._mi is not None):
             raise NotImplementedError(
-                "RTI mode supports the standard NMPC formulation (no Δu "
-                "augmentation, path following, minimum time or discrete "
+                "RTI mode supports the standard and Δu-augmented NMPC "
+                "formulations (no path following, minimum time or discrete "
                 "inputs)")
         t0 = _time.perf_counter()
         nx = self._model.n_x
@@ -1200,13 +1220,18 @@ class NMPC:
         xs_pred = self._solver_x0(x_pred)
         X_init, U_init = self._initial_trajectory(xs_pred, theta)
         dtype = self._solver_dtype
-        solver = (self._solve_warm_jit
-                  if (self._warm is not None and self._warm_start)
-                  else self._solve_jit)
+        if self.rti_gn_iterations:
+            # classical RTI: exactly k Gauss-Newton/barrier iterations from the
+            # shifted previous trajectory (k=1 = one Riccati solve per prepare)
+            solver = self._get_rti_gn_jit()
+        else:
+            solver = (self._solve_warm_jit
+                      if (self._warm is not None and self._warm_start)
+                      else self._solve_jit)
         sol = solver(self._bounds, jnp.asarray(theta, dtype),
                      jnp.asarray(xs_pred, dtype), jnp.asarray(X_init, dtype),
                      jnp.asarray(U_init, dtype))
-        if self._ip_opts.record_iterates:
+        if self._ip_opts.record_iterates and not self.rti_gn_iterations:
             sol, history = sol
             self.iteration_history = {k: np.asarray(v)
                                       for k, v in history.items()}
@@ -1223,7 +1248,8 @@ class NMPC:
         # explicit-x_pred call — the horizon base is self._time in either case.
         self.last_prediction = {
             "x": X[:, :nx] * self._x_scaling,
-            "u": U[:, :nu] * self._u_scaling,
+            "u": (X[1:, nx:nx + nu] * self._u_scaling if self._augment_du
+                  else U[:, :nu] * self._u_scaling),
             "t": self._time + self._dt * np.arange(self._horizon + 1),
         }
         self._rti = {
@@ -1233,6 +1259,7 @@ class NMPC:
                       "objective": float(sol.objective),
                       "converged": bool(sol.converged),
                       "status": int(sol.status),
+                      "mode": ("rti-gn" if self.rti_gn_iterations else "rti"),
                       "t_prepare": _time.perf_counter() - t0},
         }
         return self._rti["stats"]
@@ -1260,8 +1287,18 @@ class NMPC:
         lbu = np.asarray(self._bounds.lbu)[0]
         ubu = np.asarray(self._bounds.ubu)[0]
         U[0] = np.clip(U[0], lbu, ubu)
-        nu = self._model.n_u
-        u0 = U[0, :nu] * self._u_scaling
+        nx, nu = self._model.n_x, self._model.n_u
+        if self._augment_du:
+            # solver controls are Δu; reconstruct u = u_prev + Δu, clip to the
+            # u bounds (kept as state bounds on the augmented rows), and fold
+            # any clipping back into Δu so the pending propagation is exact
+            u_s = xs0[nx:nx + nu] + U[0, :nu]
+            u_s = np.clip(u_s, np.asarray(self._bounds.lbx)[1, nx:nx + nu],
+                          np.asarray(self._bounds.ubx)[1, nx:nx + nu])
+            U[0, :nu] = u_s - xs0[nx:nx + nu]
+            u0 = u_s * self._u_scaling
+        else:
+            u0 = U[0, :nu] * self._u_scaling
         self._u_old = u0.copy()
         # NO device call here: the feedback phase is pure numpy (a matvec, a
         # clip) so its latency is microseconds even on remote backends; the
@@ -1336,6 +1373,18 @@ class NMPC:
         state/input names to arrays plotted over the prediction)."""
         if self.last_prediction is None:
             raise RuntimeError("call optimize() before plot_prediction()")
+        from ..utils.plotting import get_plot_backend
+        if get_plot_backend() == "bokeh":
+            from ..utils.plotting_bokeh import plot_prediction_bokeh
+            import os
+            save_as = (os.path.join(plot_dir or "",
+                                    str(name_file).replace(".png", ".html"))
+                       if save_plot else None)
+            return plot_prediction_bokeh(
+                self.last_prediction, self._model.dynamical_states,
+                self._model.inputs, extras=extras,
+                extras_names=extras_names, save_as=save_as, title=title,
+                time_unit=self._model.time_unit)
         import matplotlib
         matplotlib.use("Agg", force=False)
         import matplotlib.pyplot as plt
@@ -1506,9 +1555,10 @@ class NMPC:
         if (self._augment_du or self._path_following
                 or self._min_time is not None or self._mi is not None):
             raise NotImplementedError(
-                "RTI mode supports the standard NMPC formulation (no Δu "
-                "augmentation, path following, minimum time or discrete "
-                "inputs)")
+                "batched RTI supports the standard NMPC formulation (no Δu "
+                "augmentation — a fleet would need per-scenario u_prev state "
+                "— no path following, minimum time or discrete inputs); "
+                "the scalar rti_prepare/rti_feedback path supports Δu")
         if self._solve_batch_jit is None:
             self._solve_batch_jit = self.solve_batch_fn()
         if getattr(self, "_rti_gain_batch_jit", None) is None:

@@ -153,16 +153,24 @@ def fgm_boxqp_batch_xla(H, G, x0_batch, lb, ub, iters: int = 60, u0_batch=None):
 
 def riccati_lq_pallas(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
                       reg: float = 1e-8, tile_b: int = 512,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None, pack: int = 8):
     """Batched stagewise LQ solve as ONE Pallas kernel.
 
     Solves the same equality-constrained LQ problem as `ops.riccati.solve_lq`
     for a whole batch at once: backward Riccati recursion + forward affine
-    rollout, with every per-stage matrix entry held as a (1, tile_b) lane
-    vector in VMEM/registers and all stage/index loops unrolled at trace time.
+    rollout, with every per-stage matrix entry held as a batch vector in
+    VMEM/registers and all stage/index loops unrolled at trace time.
     The XLA formulation (even fully unrolled) re-materializes each intermediate
     to HBM between fusions; here the entire chain stays on-chip, so the kernel
     reads each input exactly once and writes only the results.
+
+    ``pack`` sets the sublane packing of each per-stage feature: ``pack=1``
+    holds a feature as a (1, tile_b) lane vector — every VPU op then uses 1 of
+    8 sublane rows of its VREGs (≤12.5% VPU lane utilization by construction).
+    ``pack=8`` (default) reshapes each tile of ``8*tile_b`` scenarios into
+    (8, tile_b) so a feature fills whole (8, 128) VREGs — 8× denser VPU issue
+    for identical math (A/B-measured in tools/roofline.py). Results are
+    bit-comparable; only the layout changes.
 
     Shapes (Bt = batch): A (Bt,N,nx,nx), B (Bt,N,nx,nu), Q (Bt,N,nx,nx),
     S (Bt,N,nu,nx), R (Bt,N,nu,nu), q (Bt,N,nx), r (Bt,N,nu), c (Bt,N,nx),
@@ -185,46 +193,55 @@ def riccati_lq_pallas(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
 
     Bt, N, nx, nu = A.shape[0], A.shape[1], A.shape[2], B.shape[3]
     f32 = jnp.float32
-    Bpad = _round_up(max(Bt, 1), tile_b)
+    # pack scenarios into (pack, tile_b) sublane x lane tiles; one grid step
+    # processes pack*tile_b scenarios
+    Bpad = _round_up(max(Bt, 1), pack * tile_b)
+    lanes = Bpad // pack            # lane extent of the packed arrays
+    ntiles = lanes // tile_b
 
-    def to_feat(x, nfeat):
-        # (Bt, N, ...) -> (N, nfeat, Bpad): features in sublanes, batch in lanes
+    def to_feat(x, nfeat, pad_eye=False):
+        # (Bt, N, ...) -> (N, nfeat*pack, lanes): scenario b = t*pack*tile_b +
+        # s*tile_b + l lands at [row i*pack+s, col t*tile_b+l] — each feature
+        # fills whole (pack, tile_b) sublane tiles instead of a 1-row stripe
         x = jnp.asarray(x, f32).reshape(Bt, N, nfeat)
-        x = jnp.moveaxis(x, 0, -1)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, Bpad - Bt)))
+        if pad_eye and Bpad > Bt:
+            # padded scenarios: R = I so the unrolled Cholesky stays finite
+            n_ = int(round(np.sqrt(nfeat)))
+            eye = jnp.tile(jnp.eye(n_, dtype=f32).reshape(1, 1, nfeat),
+                           (Bpad - Bt, N, 1))
+            x = jnp.concatenate([x, eye], axis=0)
+        else:
+            x = jnp.pad(x, ((0, Bpad - Bt), (0, 0), (0, 0)))
+        x = x.reshape(ntiles, pack, tile_b, N, nfeat)
+        return x.transpose(3, 4, 1, 0, 2).reshape(N, nfeat * pack, lanes)
 
     def to_feat1(x, nfeat):
         x = jnp.asarray(x, f32).reshape(Bt, nfeat)
-        x = jnp.moveaxis(x, 0, -1)
-        # identity padding for P_term keeps the padded lanes' G = R + reg PD
-        return jnp.pad(x, ((0, 0), (0, Bpad - Bt)))
+        x = jnp.pad(x, ((0, Bpad - Bt), (0, 0)))
+        x = x.reshape(ntiles, pack, tile_b, nfeat)
+        return x.transpose(3, 1, 0, 2).reshape(nfeat * pack, lanes)
 
     A_f = to_feat(A, nx * nx)
     B_f = to_feat(B, nx * nu)
     Q_f = to_feat(Q, nx * nx)
     S_f = to_feat(S, nu * nx)
-    R_f = to_feat(R, nu * nu)
+    R_f = to_feat(R, nu * nu, pad_eye=True)
     q_f = to_feat(q, nx)
     r_f = to_feat(r, nu)
     c_f = to_feat(c, nx)
     Pt_f = to_feat1(P_term, nx * nx)
     pt_f = to_feat1(p_term, nx)
     dx0_f = to_feat1(dx0, nx)
-    # padded lanes: R = I so the unrolled Cholesky stays finite
-    if Bpad > Bt:
-        eyeR = jnp.tile(jnp.eye(nu, dtype=f32).reshape(nu * nu, 1),
-                        (1, Bpad - Bt))
-        R_f = R_f.at[:, :, Bt:].set(eyeR[None])
 
     def kernel(A_ref, B_ref, Q_ref, S_ref, R_ref, q_ref, r_ref, c_ref,
                Pt_ref, pt_ref, dx0_ref,
                dX_ref, dU_ref, lam_ref, K_ref, kff_ref, dec_ref,
                Pn_s, pn_s):
         def rd(ref, k, idx):
-            return ref[k, idx:idx + 1, :]            # (1, TB)
+            return ref[k, idx * pack:(idx + 1) * pack, :]   # (pack, TB)
 
         def rd1(ref, idx):
-            return ref[idx:idx + 1, :]
+            return ref[idx * pack:(idx + 1) * pack, :]
 
         # ---- backward sweep (unrolled over stages and indices) ----
         P = [[rd1(Pt_ref, i * nx + j) for j in range(nx)] for i in range(nx)]
@@ -284,12 +301,14 @@ def riccati_lq_pallas(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
             # stash gains and the (P_{k+1}, p_{k+1}) pair for the forward pass
             for i in range(nu):
                 for j in range(nx):
-                    K_ref[k, i * nx + j, :] = Kk[i][j][0]
-                kff_ref[k, i, :] = kffk[i][0]
+                    f = i * nx + j
+                    K_ref[k, f * pack:(f + 1) * pack, :] = Kk[i][j]
+                kff_ref[k, i * pack:(i + 1) * pack, :] = kffk[i]
             for i in range(nx):
                 for j in range(nx):
-                    Pn_s[k, i * nx + j, :] = P[i][j][0]
-                pn_s[k, i, :] = p[i][0]
+                    f = i * nx + j
+                    Pn_s[k, f * pack:(f + 1) * pack, :] = P[i][j]
+                pn_s[k, i * pack:(i + 1) * pack, :] = p[i]
             # value-function update
             P_new = [[rd(Q_ref, k, i * nx + j)
                       + sum(Ak[l][i] * PA[l][j] for l in range(nx))
@@ -302,57 +321,61 @@ def riccati_lq_pallas(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
                  + sum(Hux[l][i] * kffk[l] for l in range(nu))
                  for i in range(nx)]
             dec = dec - 0.5 * sum(kffk[i] * g_u[i] for i in range(nu))
-        dec_ref[0, :] = dec[0]
+        dec_ref[:, :] = dec
 
         # ---- forward rollout ----
+        def rdp(ref, k, f):
+            return ref[k, f * pack:(f + 1) * pack, :]
+
         dx = [rd1(dx0_ref, i) for i in range(nx)]
         for i in range(nx):
-            dX_ref[0, i, :] = dx[i][0]
+            dX_ref[0, i * pack:(i + 1) * pack, :] = dx[i]
         for k in range(N):
             Ak = [[rd(A_ref, k, i * nx + j) for j in range(nx)]
                   for i in range(nx)]
             Bk = [[rd(B_ref, k, i * nu + j) for j in range(nu)]
                   for i in range(nx)]
-            Kk = [[K_ref[k, i * nx + j:i * nx + j + 1, :] for j in range(nx)]
+            Kk = [[rdp(K_ref, k, i * nx + j) for j in range(nx)]
                   for i in range(nu)]
             du = [sum(Kk[i][j] * dx[j] for j in range(nx))
-                  + kff_ref[k, i:i + 1, :] for i in range(nu)]
+                  + rdp(kff_ref, k, i) for i in range(nu)]
             dx_n = [sum(Ak[i][j] * dx[j] for j in range(nx))
                     + sum(Bk[i][j] * du[j] for j in range(nu))
                     + rd(c_ref, k, i) for i in range(nx)]
-            lam = [sum(Pn_s[k, i * nx + j:i * nx + j + 1, :] * dx_n[j]
+            lam = [sum(rdp(Pn_s, k, i * nx + j) * dx_n[j]
                        for j in range(nx))
-                   + pn_s[k, i:i + 1, :] for i in range(nx)]
+                   + rdp(pn_s, k, i) for i in range(nx)]
             for i in range(nu):
-                dU_ref[k, i, :] = du[i][0]
+                dU_ref[k, i * pack:(i + 1) * pack, :] = du[i]
             for i in range(nx):
-                dX_ref[k + 1, i, :] = dx_n[i][0]
-                lam_ref[k, i, :] = lam[i][0]
+                dX_ref[k + 1, i * pack:(i + 1) * pack, :] = dx_n[i]
+                lam_ref[k, i * pack:(i + 1) * pack, :] = lam[i]
             dx = dx_n
 
-    grid = (Bpad // tile_b,)
+    grid = (ntiles,)
 
     def spec3(nfeat):
-        return pl.BlockSpec((N, nfeat, tile_b), lambda i: (0, 0, i),
+        return pl.BlockSpec((N, nfeat * pack, tile_b), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
 
     def spec2(nfeat):
-        return pl.BlockSpec((nfeat, tile_b), lambda i: (0, i),
+        return pl.BlockSpec((nfeat * pack, tile_b), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     out_shape = (
-        jax.ShapeDtypeStruct((N + 1, nx, Bpad), f32),   # dX
-        jax.ShapeDtypeStruct((N, nu, Bpad), f32),       # dU
-        jax.ShapeDtypeStruct((N, nx, Bpad), f32),       # lam
-        jax.ShapeDtypeStruct((N, nu * nx, Bpad), f32),  # K
-        jax.ShapeDtypeStruct((N, nu, Bpad), f32),       # kff
-        jax.ShapeDtypeStruct((1, Bpad), f32),           # cost_red
+        jax.ShapeDtypeStruct((N + 1, nx * pack, lanes), f32),   # dX
+        jax.ShapeDtypeStruct((N, nu * pack, lanes), f32),       # dU
+        jax.ShapeDtypeStruct((N, nx * pack, lanes), f32),       # lam
+        jax.ShapeDtypeStruct((N, nu * nx * pack, lanes), f32),  # K
+        jax.ShapeDtypeStruct((N, nu * pack, lanes), f32),       # kff
+        jax.ShapeDtypeStruct((pack, lanes), f32),               # cost_red
     )
     out_specs = (
-        pl.BlockSpec((N + 1, nx, tile_b), lambda i: (0, 0, i),
+        pl.BlockSpec((N + 1, nx * pack, tile_b), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),
         spec3(nu), spec3(nx), spec3(nu * nx), spec3(nu),
-        pl.BlockSpec((1, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((pack, tile_b), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
     )
     dX, dU, lam, K, kff, dec = pl.pallas_call(
         kernel,
@@ -363,15 +386,20 @@ def riccati_lq_pallas(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((N, nx * nx, tile_b), f32),   # P_{k+1} per stage
-            pltpu.VMEM((N, nx, tile_b), f32),        # p_{k+1} per stage
+            pltpu.VMEM((N, nx * nx * pack, tile_b), f32),   # P_{k+1}/stage
+            pltpu.VMEM((N, nx * pack, tile_b), f32),        # p_{k+1}/stage
         ],
         interpret=interpret,
     )(A_f, B_f, Q_f, S_f, R_f, q_f, r_f, c_f, Pt_f, pt_f, dx0_f)
 
-    def back(x, shape):
-        return jnp.moveaxis(x, -1, 0)[:Bt].reshape(shape)
+    def back(x, shape, nfeat):
+        # (d0, nfeat*pack, lanes) -> (Bt, d0, nfeat) -> shape
+        d0 = x.shape[0]
+        x = x.reshape(d0, nfeat, pack, ntiles, tile_b)
+        x = x.transpose(3, 2, 4, 0, 1).reshape(Bpad, d0, nfeat)
+        return x[:Bt].reshape(shape)
 
-    return (back(dX, (Bt, N + 1, nx)), back(dU, (Bt, N, nu)),
-            back(lam, (Bt, N, nx)), back(K, (Bt, N, nu, nx)),
-            back(kff, (Bt, N, nu)), back(dec, (Bt,)))
+    return (back(dX, (Bt, N + 1, nx), nx), back(dU, (Bt, N, nu), nu),
+            back(lam, (Bt, N, nx), nx), back(K, (Bt, N, nu, nx), nu * nx),
+            back(kff, (Bt, N, nu), nu),
+            back(dec.reshape(1, pack, lanes), (Bt,), 1))

@@ -100,6 +100,22 @@ class TestRiccatiLQPallas:
         np.testing.assert_allclose(np.asarray(K), np.asarray(ref.K),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("Bt", [5, 130])
+    def test_pack_layouts_agree(self, Bt):
+        # pack=8 (full-VREG sublane packing) is a pure layout change: results
+        # match the legacy pack=1 lane-stripe layout and the XLA sweeps
+        from hilo_mpc_tpu.ops.pallas_kernels import riccati_lq_pallas
+        from hilo_mpc_tpu.ops.riccati import solve_lq
+        args = self._problem(Bt, 6, 2, 1, seed=3)
+        ref = jax.vmap(lambda *a: solve_lq(*a, reg=1e-8))(*args)
+        out1 = riccati_lq_pallas(*args, tile_b=128, pack=1)
+        out8 = riccati_lq_pallas(*args, tile_b=128, pack=8)
+        for a, b, c in zip(out1, out8, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(c),
+                                       rtol=1e-4, atol=1e-3)
+
     def test_solver_option_matches_xla_path(self):
         from hilo_mpc_tpu.ops.ip_solver import (IPOptions, OCPBounds, OCPDims,
                                                 OCPFunctions, solve_ocp_batched)

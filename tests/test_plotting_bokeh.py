@@ -19,6 +19,7 @@ class _FigStub:
     def __init__(self, **kwargs):
         self.kwargs = kwargs
         self.calls = []
+        self.layouts = []
         self.x_range = object()
 
     def line(self, x, y, **kw):
@@ -26,6 +27,20 @@ class _FigStub:
 
     def step(self, x, y, **kw):
         self.calls.append(("step", x, y, kw))
+
+    def varea(self, x=None, y1=None, y2=None, **kw):
+        self.calls.append(("varea", x, (y1, y2), kw))
+
+    def scatter(self, x, y, **kw):
+        self.calls.append(("scatter", x, y, kw))
+
+    def add_layout(self, obj):
+        self.layouts.append(obj)
+
+
+class _SpanStub:
+    def __init__(self, **kw):
+        self.kw = kw
 
 
 class _SourceStub:
@@ -68,6 +83,7 @@ def stub_bokeh(monkeypatch):
     bio.save = save
     bio.show = lambda layout: rec["shown"].append(layout)
     bmod.ColumnDataSource = _SourceStub
+    bmod.Span = _SpanStub
     bokeh.io = bio
     bokeh.plotting = bplt
     bokeh.layouts = blay
@@ -136,6 +152,106 @@ def test_bokeh_plot_series(stub_bokeh):
     # linked x ranges for aligned panning
     assert fu.x_range is fx.x_range
     assert not stub_bokeh["saved"]
+
+
+def test_bokeh_overlays(stub_bokeh):
+    # overlay parity with the reference bokeh plugin: references, bounds,
+    # predictions and fill-between bands (reference: bokeh/plot.py:281-355)
+    from hilo_mpc_tpu.utils.plotting_bokeh import plot_series_bokeh
+
+    series = _sim_series()
+    t = np.asarray(series["t"], dtype=float)
+    layout = plot_series_bokeh(
+        series, kinds=["x", "u"],
+        refs={"x": 0.5},
+        bounds={"u": (-1.0, 1.0)},
+        predictions={"x": (t[-5:] + 0.1, np.linspace(0.5, 0.6, 5))},
+        bands={"x": (t, np.zeros(t.size), np.full(t.size, 0.1))})
+    assert layout[0] == "column"
+    fx, fu = stub_bokeh["figs"]
+    kinds_x = [c[0] for c in fx.calls]
+    assert kinds_x.count("line") == 3      # data + dashed ref + prediction
+    assert "varea" in kinds_x              # fill-between band
+    # the band is drawn first so data lines sit on top
+    assert kinds_x[0] == "varea"
+    dashes = [c[3].get("line_dash") for c in fx.calls if c[0] == "line"]
+    assert "dashed" in dashes
+    kinds_u = [c[0] for c in fu.calls]
+    assert kinds_u.count("line") == 2      # lb + ub dotted bound lines
+    u_dashes = [c[3].get("line_dash") for c in fu.calls if c[0] == "line"]
+    assert u_dashes == ["dotted", "dotted"]
+
+
+def test_bokeh_plot_prediction(stub_bokeh):
+    from hilo_mpc_tpu.utils.plotting import set_plot_backend
+
+    from hilo_mpc_tpu import NMPC
+    from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
+
+    nmpc = NMPC(cstr_schaffner_and_zeitz())
+    nmpc.horizon = 5
+    nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0],
+                                    ref=[0.3, 0.18055])
+    nmpc.quad_stage_cost.add_inputs(weights=0.1)
+    nmpc.set_box_constraints(u_lb=[-5.0], u_ub=[5.0])
+    nmpc.set_parameters([1.0] * 6)
+    nmpc.setup(options={"dt": 0.1})
+    nmpc.optimize([0.2, 0.1])
+    set_plot_backend("bokeh")
+    try:
+        layout = nmpc.plot_prediction(
+            extras={"x_1": np.full(6, 0.3)}, extras_names=["measured"])
+    finally:
+        set_plot_backend("matplotlib")
+    assert layout[0] == "column"
+    assert len(layout[1]) == 3  # 2 states + 1 input panel
+    f0 = stub_bokeh["figs"][0]
+    labels = [c[3].get("legend_label") for c in f0.calls]
+    assert "prediction" in labels and "measured" in labels
+    # the overlay extra is dashed, like the matplotlib backend
+    dashes = [c[3].get("line_dash") for c in f0.calls]
+    assert "dashed" in dashes
+
+
+def test_bokeh_gp_band(stub_bokeh):
+    from hilo_mpc_tpu import GaussianProcess
+    from hilo_mpc_tpu.utils.plotting_bokeh import plot_gp_bokeh
+
+    rng = np.random.default_rng(0)
+    X = np.linspace(0, 3, 12)[:, None]
+    y = np.sin(X[:, 0]) + 0.05 * rng.standard_normal(12)
+    gp = GaussianProcess(["x"], ["y"])
+    gp.set_training_data(X, y)
+    gp.setup()
+    layout = plot_gp_bokeh(gp, np.linspace(0, 3, 30), save_as=None)
+    assert layout[0] == "column"
+    fig = stub_bokeh["figs"][-1]
+    kinds = [c[0] for c in fig.calls]
+    assert kinds[0] == "varea"           # quantile band under the mean
+    assert "line" in kinds and "scatter" in kinds
+    # band ordering: y1 <= y2 everywhere
+    _, _, (lo, hi), _ = fig.calls[0]
+    assert np.all(np.asarray(lo) <= np.asarray(hi))
+    with pytest.raises(ValueError, match="1-D"):
+        plot_gp_bokeh(gp, np.zeros((4, 2)))
+
+
+def test_live_loop_span_overlays(stub_bokeh):
+    from hilo_mpc_tpu.utils.plotting_bokeh import LiveBokehLoopPlot
+
+    series = _sim_series()
+    live = LiveBokehLoopPlot(series, refs={"x": 0.5},
+                             bounds={"u": (-1.0, 1.0)})
+    by_label = {f.kwargs.get("y_axis_label"): f for f in stub_bokeh["figs"]}
+    fx, fu = by_label["x"], by_label["u"]
+    assert len(fx.layouts) == 1
+    assert fx.layouts[0].kw["location"] == 0.5
+    assert fx.layouts[0].kw["line_dash"] == "dashed"
+    assert len(fu.layouts) == 2
+    assert sorted(s.kw["location"] for s in fu.layouts) == [-1.0, 1.0]
+    assert all(s.kw["line_dash"] == "dotted" for s in fu.layouts)
+    live.update()
+    assert live.n_draws == 1
 
 
 def test_bokeh_html_export(stub_bokeh, tmp_path):

@@ -37,6 +37,116 @@ def _plant():
     return plant
 
 
+def _du_nmpc(N=8, du_weight=0.5, **opts):
+    # Δu-augmented formulation: input-increment penalty (the common
+    # industrial cost, reference: util/modeling.py:89-531 Δu terms)
+    nmpc = NMPC(cstr_schaffner_and_zeitz())
+    nmpc.horizon = N
+    nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0], ref=X_EQ)
+    nmpc.quad_stage_cost.add_inputs(weights=0.1)
+    nmpc.quad_stage_cost.add_inputs_change(weights=du_weight)
+    nmpc.set_box_constraints(u_lb=[-5.0], u_ub=[5.0])
+    nmpc.set_parameters(P_CSTR)
+    nmpc.setup(options={"dt": 0.1, **opts})
+    assert nmpc._augment_du
+    return nmpc
+
+
+class TestDuRTI:
+    def test_du_rti_tracks_like_full_solve(self):
+        # full-solve Δu loop
+        plant = _plant()
+        full = _du_nmpc()
+        x = np.array([0.2, 0.1])
+        xs_full = [x]
+        for _ in range(30):
+            u = full.optimize(x)
+            x = plant.simulate(u=u, steps=1)["x"][-1]
+            xs_full.append(x)
+        # Δu RTI loop
+        plant = _plant()
+        rti = _du_nmpc()
+        x = np.array([0.2, 0.1])
+        rti.rti_prepare(x_pred=x)
+        xs_rti = [x]
+        for _ in range(30):
+            u = rti.rti_feedback(x)
+            x = plant.simulate(u=u, steps=1)["x"][-1]
+            xs_rti.append(x)
+            rti.rti_prepare()
+        xs_full, xs_rti = np.array(xs_full), np.array(xs_rti)
+        assert np.linalg.norm(xs_rti[-1] - X_EQ) < 1e-2
+        assert np.max(np.abs(xs_rti - xs_full)) < 2e-2
+
+    def test_du_feedback_respects_both_bound_sets(self):
+        # tight Δu bounds: the tangential predictor must clip Δu AND u
+        nmpc = NMPC(cstr_schaffner_and_zeitz())
+        nmpc.horizon = 6
+        nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0], ref=X_EQ)
+        nmpc.quad_stage_cost.add_inputs_change(weights=0.05)
+        nmpc.set_box_constraints(u_lb=[-0.5], u_ub=[0.5],
+                                 du_lb=[-0.1], du_ub=[0.1])
+        nmpc.set_parameters(P_CSTR)
+        nmpc.setup(options={"dt": 0.1})
+        nmpc.rti_prepare(x_pred=[0.25, 0.12])
+        u_prev = nmpc._u_old.copy()
+        u = nmpc.rti_feedback(np.array([0.25, 0.12]) + 5.0)  # huge deviation
+        assert abs(u[0] - u_prev[0]) <= 0.1 + 1e-10
+        assert -0.5 - 1e-10 <= u[0] <= 0.5 + 1e-10
+
+    def test_du_prediction_exposes_u(self):
+        rti = _du_nmpc()
+        rti.rti_prepare(x_pred=[0.2, 0.1])
+        pred = rti.last_prediction
+        assert pred["u"].shape == (8, 1)
+        assert np.all(np.abs(pred["u"]) <= 5.0 + 1e-9)
+
+
+class TestSingleIterationRTI:
+    def test_gn_prepare_runs_one_iteration(self):
+        rti = _nmpc()
+        rti.rti_gn_iterations = 1
+        rti.rti_prepare(x_pred=[0.2, 0.1])
+        st = rti._rti["stats"]
+        assert st["mode"] == "rti-gn"
+        assert st["iterations"] == 1
+
+    def test_gn_loop_matches_full_prepare_loop(self):
+        # closed-loop accuracy: 1-GN-iteration prepare vs full-solve prepare
+        def run(gn):
+            plant = _plant()
+            rti = _nmpc()
+            if gn:
+                rti.rti_gn_iterations = 1
+            x = np.array([0.2, 0.1])
+            rti.rti_prepare(x_pred=x)
+            xs = [x]
+            for _ in range(30):
+                u = rti.rti_feedback(x)
+                x = plant.simulate(u=u, steps=1)["x"][-1]
+                xs.append(x)
+                rti.rti_prepare()
+            return np.array(xs)
+
+        xs_full = run(gn=False)
+        xs_gn = run(gn=True)
+        assert np.linalg.norm(xs_gn[-1] - X_EQ) < 1e-2
+        # single-GN trajectories track the converged-solve trajectories
+        assert np.max(np.abs(xs_gn - xs_full)) < 3e-2
+
+    def test_gn_works_with_du(self):
+        plant = _plant()
+        rti = _du_nmpc()
+        rti.rti_gn_iterations = 1
+        x = np.array([0.2, 0.1])
+        rti.rti_prepare(x_pred=x)
+        for _ in range(30):
+            u = rti.rti_feedback(x)
+            x = plant.simulate(u=u, steps=1)["x"][-1]
+            rti.rti_prepare()
+        assert np.linalg.norm(x - X_EQ) < 1e-2
+
+
 class TestRTIClosedLoop:
     def test_rti_tracks_setpoint_like_full_solve(self):
         # full-solve loop
@@ -199,15 +309,12 @@ class TestRTIValidation:
         with pytest.raises(ValueError, match="entries"):
             rti.rti_feedback([0.2])
 
-    def test_du_formulation_rejected(self):
-        nmpc = NMPC(cstr_schaffner_and_zeitz())
-        nmpc.horizon = 5
-        nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0], ref=X_EQ)
-        nmpc.quad_stage_cost.add_inputs_change(weights=0.1)
-        nmpc.set_parameters(P_CSTR)
-        nmpc.setup(options={"dt": 0.1})
-        with pytest.raises(NotImplementedError, match="RTI"):
-            nmpc.rti_prepare(x_pred=[0.2, 0.1])
+    def test_du_formulation_batched_rejected(self):
+        # the scalar RTI path supports Δu; the batched fleet path does not
+        # (it would need per-scenario u_prev state)
+        nmpc = _du_nmpc()
+        with pytest.raises(NotImplementedError, match="batched RTI"):
+            nmpc.rti_prepare_batch(np.tile([0.2, 0.1], (3, 1)))
 
     def test_control_loop_rti_mode(self):
         from hilo_mpc_tpu import SimpleControlLoop
