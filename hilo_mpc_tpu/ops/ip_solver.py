@@ -103,6 +103,10 @@ class IPOptions:
     # batched sweeps as ONE fused Pallas kernel (batch in lanes, stages
     # unrolled in VMEM); engages under vmap via custom_vmap, f32 only
     pallas_riccati: bool = False
+    # sublane packing of the Pallas sweep kernel: 8 = features fill whole
+    # (8, tile) VREG tiles (2.35x faster standalone, tools/roofline.py);
+    # 1 = legacy (1, tile) lane stripes
+    pallas_pack: int = 8
     # whole-SOLVE Pallas kernel (ops/pallas_ip.py): the full IP loop in one
     # kernel launch, nothing between iterations touches HBM. Box-constrained
     # pure-Newton problems only; engaged by batched entry points
@@ -570,7 +574,8 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
             lq_solver = solve_lq_parallel
         elif opt.pallas_riccati:
             lq_solver = make_lq_solver_pallas(reg=opt.reg,
-                                              unroll=opt.riccati_unroll)
+                                              unroll=opt.riccati_unroll,
+                                              pack=opt.pallas_pack)
         else:
             lq_solver = partial(solve_lq, unroll=opt.riccati_unroll)
 

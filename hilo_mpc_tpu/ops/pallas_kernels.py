@@ -152,7 +152,7 @@ def fgm_boxqp_batch_xla(H, G, x0_batch, lb, ub, iters: int = 60, u0_batch=None):
 
 
 def riccati_lq_pallas(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
-                      reg: float = 1e-8, tile_b: int = 512,
+                      reg: float = 1e-8, tile_b: Optional[int] = None,
                       interpret: Optional[bool] = None, pack: int = 8):
     """Batched stagewise LQ solve as ONE Pallas kernel.
 
@@ -192,6 +192,17 @@ def riccati_lq_pallas(A, B, Q, S, R, q, r, c, P_term, p_term, dx0,
         interpret = jax.default_backend() != "tpu"
 
     Bt, N, nx, nu = A.shape[0], A.shape[1], A.shape[2], B.shape[3]
+    if tile_b is None:
+        if interpret:
+            # no hardware lane constraint in emulation — keep padding small
+            tile_b = min(64, _round_up(max(Bt, 1), 8) // max(1, pack))
+            tile_b = max(tile_b, 1)
+        else:
+            # keep the double-buffered block pipeline inside the default 16MB
+            # scoped-VMEM budget: pack=8 holds 8x the rows per lane column, so
+            # halve the lane tile (measured: tile 512 @ pack 8 trips the 16MB
+            # ceiling at N=20; tile 256 fits with headroom)
+            tile_b = 256 if pack >= 8 else 512
     f32 = jnp.float32
     # pack scenarios into (pack, tile_b) sublane x lane tiles; one grid step
     # processes pack*tile_b scenarios

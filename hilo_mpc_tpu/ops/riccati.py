@@ -260,11 +260,13 @@ def dare_solve(A, B, Q, R, iters: int = 200):
     return K, P
 
 
-def make_lq_solver_pallas(reg: float = 1e-9, unroll: int = 1):
+def make_lq_solver_pallas(reg: float = 1e-9, unroll: int = 1, pack: int = 8):
     """`solve_lq` with a batched fast path: under `vmap`, the whole batch is
     dispatched to the fused Pallas sweep kernel (ops/pallas_kernels.py:
     riccati_lq_pallas) via `jax.custom_batching.custom_vmap`; unbatched calls
-    fall back to the XLA sweeps. f32 only (the kernel's lane layout)."""
+    fall back to the XLA sweeps. f32 only (the kernel's lane layout).
+    ``pack``: sublane packing of the kernel (8 = full-VREG tiles, 1 = legacy
+    lane stripes; see riccati_lq_pallas)."""
     from jax.custom_batching import custom_vmap
 
     from .pallas_kernels import riccati_lq_pallas
@@ -280,7 +282,15 @@ def make_lq_solver_pallas(reg: float = 1e-9, unroll: int = 1):
                 for x, b in zip(args, in_batched)]
         batched = LQSolution(dX=True, dU=True, lam=True, K=True, kff=True,
                              cost_red=True)
-        tile = min(512, max(128, -(-axis_size // 128) * 128))
+        # lane-tile cap keeps the kernel inside the default 16MB scoped VMEM
+        # (pack=8 holds 8x the rows per lane column — see riccati_lq_pallas);
+        # in interpret mode (CPU tests) there is no hardware lane constraint —
+        # a small tile avoids emulating hundreds of padded lanes
+        if jax.default_backend() != "tpu":
+            tile = min(64, max(8, -(-axis_size // 8) * 8))
+        else:
+            cap = 256 if pack >= 8 else 512
+            tile = min(cap, max(128, -(-axis_size // 128) * 128))
         if args[0].dtype != jnp.float32:
             # the kernel's lane layout is f32-only; f64 solves (CPU parity
             # checks) take the XLA sweeps
@@ -288,7 +298,7 @@ def make_lq_solver_pallas(reg: float = 1e-9, unroll: int = 1):
                            )(*args)
             return out, batched
         dX, dU, lam, K, kff, dec = riccati_lq_pallas(*args, reg=reg,
-                                                     tile_b=tile)
+                                                     tile_b=tile, pack=pack)
         out = LQSolution(dX=dX, dU=dU, lam=lam, K=K, kff=kff, cost_red=dec)
         return out, batched
 

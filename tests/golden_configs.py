@@ -210,10 +210,157 @@ def build_hybrid_ann():
     return nmpc, scenario
 
 
+# -- configs[5]: soft-constraint-ACTIVE tracking ------------------------------
+# the setpoint sits above the soft state bound, so the relu^2 penalty is active
+# along the whole steady state — pins the soft-constraint path to the oracle
+
+def build_softcon_active():
+    from hilo_mpc_tpu import NMPC
+    from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
+
+    nmpc = NMPC(cstr_schaffner_and_zeitz())
+    nmpc.horizon = 15
+    nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0], ref=CSTR_REF)
+    nmpc.quad_stage_cost.add_inputs(weights=0.1)
+    nmpc.set_box_constraints(u_lb=[-5.0], u_ub=[5.0],
+                             x_ub=[0.27, np.inf], x_soft=True,
+                             soft_weight=500.0)
+    nmpc.set_parameters(CSTR_P)
+    nmpc.setup(options={"dt": 0.1, "integration_method": "rk4",
+                        "tol": 1e-9, "max_iter": 80})
+    scenario = {
+        "x0": np.array([0.2, 0.1]),
+        "steps": 25,
+        "plant_step": lambda x, u: rk4_np(cstr_ode_np, x, u, 0.1),
+    }
+    return nmpc, scenario
+
+
+# -- configs[6]: minimum-time NMPC --------------------------------------------
+# rest-to-rest double-integrator transfer; solved from a sequence of initial
+# states (min-time is an open-loop planning problem: x_seq replaces the
+# closed-loop plant rollout; the parity test replays X_meas either way)
+
+def build_mintime():
+    import jax.numpy as jnp
+
+    from hilo_mpc_tpu import Model, NMPC
+
+    m = Model(name="di")
+    m.set_dynamical_states(["p", "v"])
+    m.set_inputs("a")
+    m.set_dynamical_equations(lambda x, u: jnp.stack([x[1], u[0]]))
+
+    nmpc = NMPC(m)
+    nmpc.horizon = 16
+    nmpc.set_box_constraints(u_lb=-1.0, u_ub=1.0)
+    nmpc.add_terminal_constraint(lambda x: x, lb=[0.0, 0.0], ub=[0.0, 0.0],
+                                 n=2)
+    nmpc.minimize_final_time(weight=1.0, dt_min=0.02, dt_max=0.6)
+    nmpc.setup(options={"dt": 0.2, "integration_method": "rk4",
+                        "tol": 1e-9, "max_iter": 120})
+    rng = np.random.default_rng(11)
+    x_seq = np.stack([
+        np.array([-1.0, 0.0]) + np.array([0.25, 0.15]) *
+        rng.standard_normal(2) for _ in range(22)])
+    scenario = {"x0": x_seq[0], "steps": 22, "x_seq": x_seq}
+    return nmpc, scenario
+
+
+# -- configs[7]: DAE model + collocation transcription ------------------------
+
+DAE_ALPHA = 0.05
+
+
+def dae_z_np(x):
+    # algebraic residual 0 = z - 0.5 x - DAE_ALPHA z^2, solvable branch
+    return (1.0 - np.sqrt(1.0 - 4.0 * DAE_ALPHA * 0.5 * x)) / (2.0 * DAE_ALPHA)
+
+
+def dae_ode_np(x, u):
+    z = dae_z_np(x[0])
+    return np.array([-x[0] + z + u[0]])
+
+
+def build_dae_colloc():
+    import jax.numpy as jnp
+
+    from hilo_mpc_tpu import Model, NMPC
+
+    m = Model(name="dae")
+    m.set_dynamical_states("x")
+    m.set_algebraic_states("z")
+    m.set_inputs("u")
+    m.set_dynamical_equations(lambda x, z, u: -x + z + u)
+    m.set_algebraic_equations(
+        lambda x, z: z - 0.5 * x - DAE_ALPHA * z ** 2)
+
+    nmpc = NMPC(m)
+    nmpc.horizon = 12
+    nmpc.quad_stage_cost.add_states(weights=[10.0], ref=[0.5])
+    nmpc.quad_stage_cost.add_inputs(weights=0.1)
+    nmpc.set_box_constraints(u_lb=[-2.0], u_ub=[2.0])
+    nmpc.setup(options={"dt": 0.1, "integration_method": "collocation",
+                        "degree": 3, "tol": 1e-9, "max_iter": 80})
+    scenario = {
+        "x0": np.array([0.1]),
+        "steps": 25,
+        "plant_step": lambda x, u: rk4_np(dae_ode_np, x, u, 0.1),
+    }
+    return nmpc, scenario
+
+
+# -- configs[8]: SMPC with an active chance constraint ------------------------
+
+def build_smpc_chance():
+    import jax.numpy as jnp
+
+    from hilo_mpc_tpu import GP, Model, SMPC
+
+    m = Model(name="lin")
+    m.set_dynamical_states(["x1", "x2"])
+    m.set_inputs("u")
+    m.set_dynamical_equations(
+        lambda x, u: jnp.array([x[1], -0.5 * x[0] - 0.4 * x[1] + u[0]]))
+
+    rng = np.random.default_rng(3)
+    X = np.linspace(-1.5, 1.5, 25)[:, None]
+    y = 0.05 * np.sin(2 * X[:, 0]) + 0.02 * rng.standard_normal(25)
+    gp = GP(["x1"], ["d"], noise_variance=0.02)
+    gp.set_training_data(X, y)
+    gp.setup()
+
+    smpc = SMPC(m, gps={"x2": gp}, dt=0.1)
+    smpc.horizon = 10
+    smpc.quad_stage_cost.add_states(names=["x1", "x2"], weights=[5.0, 1.0],
+                                    ref=[0.85, 0.0])
+    smpc.quad_stage_cost.add_inputs(weights=0.05)
+    smpc.set_box_constraints(u_lb=[-2.0], u_ub=[2.0])
+    # setpoint close to the chance bound: the erfinv back-off is active
+    smpc.set_box_chance_constraints(x_ub=[0.9, np.inf], level=0.95)
+    smpc.setup(options={"dt": 0.1, "tol": 1e-9, "max_iter": 80})
+
+    def plant_step(x, u):
+        f = lambda xx, uu: np.array(
+            [xx[1], -0.5 * xx[0] - 0.4 * xx[1] + uu[0]])
+        return rk4_np(f, x, u, 0.1)
+
+    scenario = {
+        "x0": np.array([0.3, 0.0]),
+        "steps": 25,
+        "plant_step": plant_step,
+    }
+    return smpc, scenario
+
+
 CONFIGS = {
     "cstr_tracking": build_cstr_tracking,
     "lmpc_di": build_lmpc_di,
     "mhe_cstr": build_mhe_cstr,
     "pathfollow_soft": build_pathfollow_soft,
     "hybrid_ann": build_hybrid_ann,
+    "softcon_active": build_softcon_active,
+    "mintime": build_mintime,
+    "dae_colloc": build_dae_colloc,
+    "smpc_chance": build_smpc_chance,
 }

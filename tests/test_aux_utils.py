@@ -78,3 +78,73 @@ class TestSessionTempDir:
     def test_session_context(self, tmp_path):
         with Session(compilation_cache=str(tmp_path / "cache")) as s:
             assert s is not None
+
+
+class TestRooflineAccounting:
+    """tools/roofline.py: the analytic FLOP/byte counters that back the MFU
+    numbers in ROOFLINE.json must stay consistent with the kernel's algebra."""
+
+    def _tool(self):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                        "tools"))
+        import roofline
+        return roofline
+
+    def test_sweep_flops_scale_linearly_in_N(self):
+        rl = self._tool()
+        f1 = rl.lq_sweep_flops(1, 2, 1)
+        f10 = rl.lq_sweep_flops(10, 2, 1)
+        f20 = rl.lq_sweep_flops(20, 2, 1)
+        # per-stage cost is N-independent: increments must match exactly
+        assert f20 - f10 == 10 * (f10 - f1) / 9 * 1 or (f20 - f10) == (
+            (f10 - f1) * 10 // 9)
+        assert f20 > f10 > f1 > 0
+
+    def test_sweep_flops_tiny_case_hand_count(self):
+        rl = self._tool()
+        # N=1, nx=1, nu=1 backward stage:
+        #   Pc_p = P*c + p                      -> 2 flops (mul, add)
+        #   PA = P*A                            -> 1
+        #   PB = P*B                            -> 1
+        #   G = R + B*PB; sym avg + reg         -> 2 + 3
+        #   Hux = S + B*PA                      -> 2
+        #   g_u = r + B*Pc_p                    -> 2
+        #   chol: sqrt(G)                       -> 1
+        #   fwd/back subst: 2 cols x 2 divs     -> 4 (incl. negate? negation
+        #   of K,kff counts 2)
+        # ... the exact total is what the counter says; assert the structural
+        # identity instead: flops(N) = N*(stage+fwd) with no constant term
+        # beyond the terminal handling
+        f1, f2, f3 = (rl.lq_sweep_flops(n, 1, 1) for n in (1, 2, 3))
+        assert f2 - f1 == f3 - f2          # exact linearity
+        assert f1 == f2 - f1               # no constant offset
+
+    def test_sweep_bytes_count(self):
+        rl = self._tool()
+        # N=20, nx=2, nu=1: inputs 20*(8+4+1+4+1)+4+4 floats, outputs
+        # 21*2+20*(2+2+2)+1 floats, f32
+        n_in = 20 * (2 * 4 + 2 * 2 + 1 + 2 * 2 + 1) + 4 + 4
+        n_out = 21 * 2 + 20 * (2 * 1 + 2 + 1 * 2) + 1
+        assert rl.lq_sweep_bytes(20, 2, 1) == 4 * (n_in + n_out)
+
+    def test_peaks_lookup(self):
+        rl = self._tool()
+
+        class Dev:
+            device_kind = "TPU v5 lite"
+
+        p = rl._peaks_for(Dev())
+        assert p["hbm_Bps"] == 819e9
+        assert p["mxu_bf16"] == 197e12
+
+    def test_counter_counts_each_op_once(self):
+        rl = self._tool()
+        rl._Ctr.ops = 0
+        a, b = rl._Ctr(), rl._Ctr()
+        _ = a + b
+        _ = a * b
+        _ = -a
+        _ = a / b
+        _ = a.sqrt()
+        assert rl._Ctr.ops == 5

@@ -51,7 +51,7 @@ def test_matches_general_path_flagship():
     args = _batch(nmpc, 8)
     sol_ref = _ref_solve(nmpc, args)
     sol_pl = solve_ocp_pallas_full(nmpc._funcs, nmpc._dims, nmpc._bounds,
-                                   *args, options=nmpc._ip_opts, tile_b=256)
+                                   *args, options=nmpc._ip_opts, tile_b=8)
     assert np.asarray(sol_pl.converged).all()
     assert np.array_equal(np.asarray(sol_pl.iterations),
                           np.asarray(sol_ref.iterations))
@@ -83,7 +83,7 @@ def test_active_state_and_terminal_bounds():
     args = _batch(nmpc, 6, seed=3)
     sol_ref = _ref_solve(nmpc, args)
     sol_pl = solve_ocp_pallas_full(nmpc._funcs, nmpc._dims, nmpc._bounds,
-                                   *args, options=nmpc._ip_opts, tile_b=128)
+                                   *args, options=nmpc._ip_opts, tile_b=8)
     conv = np.asarray(sol_ref.converged)
     assert conv.mean() > 0.7   # the tight x_ub makes one seed-3 scenario hard
     assert (np.asarray(sol_pl.converged) == conv).all()
@@ -98,7 +98,7 @@ def test_padding_lanes_and_batch_not_multiple_of_tile():
     args = _batch(nmpc, 7, seed=1)     # 7 lanes in a 128-lane tile
     sol_ref = _ref_solve(nmpc, args)
     sol_pl = solve_ocp_pallas_full(nmpc._funcs, nmpc._dims, nmpc._bounds,
-                                   *args, options=nmpc._ip_opts, tile_b=128)
+                                   *args, options=nmpc._ip_opts, tile_b=8)
     assert sol_pl.U.shape == (7, 5, 1)
     assert np.asarray(sol_pl.converged).all()
     np.testing.assert_allclose(np.asarray(sol_pl.U), np.asarray(sol_ref.U),
@@ -106,7 +106,7 @@ def test_padding_lanes_and_batch_not_multiple_of_tile():
 
 
 def test_solve_batch_fn_engages_kernel():
-    nmpc = _flagship(N=5, pallas_full=True, pallas_tile=128)
+    nmpc = _flagship(N=5, pallas_full=True, pallas_tile=8)
     args = _batch(nmpc, 4, seed=2)
     sol = nmpc.solve_batch_fn()(*args)
     assert np.asarray(sol.converged).all()
@@ -152,7 +152,7 @@ def test_unconstrained_problem():
     args = _batch(nmpc, 4, seed=4)
     sol_ref = _ref_solve(nmpc, args)
     sol_pl = solve_ocp_pallas_full(nmpc._funcs, nmpc._dims, nmpc._bounds,
-                                   *args, options=nmpc._ip_opts, tile_b=128)
+                                   *args, options=nmpc._ip_opts, tile_b=8)
     assert np.asarray(sol_pl.converged).all()
     np.testing.assert_allclose(np.asarray(sol_pl.U), np.asarray(sol_ref.U),
                                atol=5e-4)

@@ -90,7 +90,7 @@ class TestRiccatiLQPallas:
         from hilo_mpc_tpu.ops.riccati import solve_lq
         args = self._problem(5, 7, nx, nu)
         ref = jax.vmap(lambda *a: solve_lq(*a, reg=1e-8))(*args)
-        dX, dU, lam, K, kff, dec = riccati_lq_pallas(*args, tile_b=128)
+        dX, dU, lam, K, kff, dec = riccati_lq_pallas(*args, tile_b=8)
         np.testing.assert_allclose(np.asarray(dU), np.asarray(ref.dU),
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(dX), np.asarray(ref.dX),
@@ -108,8 +108,8 @@ class TestRiccatiLQPallas:
         from hilo_mpc_tpu.ops.riccati import solve_lq
         args = self._problem(Bt, 6, 2, 1, seed=3)
         ref = jax.vmap(lambda *a: solve_lq(*a, reg=1e-8))(*args)
-        out1 = riccati_lq_pallas(*args, tile_b=128, pack=1)
-        out8 = riccati_lq_pallas(*args, tile_b=128, pack=8)
+        out1 = riccati_lq_pallas(*args, tile_b=8, pack=1)
+        out8 = riccati_lq_pallas(*args, tile_b=8, pack=8)
         for a, b, c in zip(out1, out8, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-6)

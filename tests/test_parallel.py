@@ -89,6 +89,43 @@ class TestFusedClosedLoop:
         assert err.max() < 3e-2
         assert float(np.asarray(res.converged).mean()) > 0.95
 
+    def test_fused_loop_with_ekf_feedback(self):
+        # SURVEY §3.3 with an observer: controller solve + plant step +
+        # noisy measurement + EKF predict/update fused in one scan body;
+        # the controller only sees the estimate
+        import jax
+
+        from hilo_mpc_tpu.estimation import ExtendedKalmanFilter
+        from hilo_mpc_tpu.parallel import fused_closed_loop_ekf_fn
+
+        P = [1.0] * 6
+        plant = cstr_schaffner_and_zeitz()
+        plant.setup(dt=0.1, integration_method="rk4")
+        nmpc = make_nmpc(N=8)
+        ekf = ExtendedKalmanFilter(cstr_schaffner_and_zeitz())
+        ekf.Q = 1e-4 * np.eye(2)
+        ekf.R = np.array([[1e-4]])   # the CSTR measures x_2 only
+        ekf.set_initial_parameter_values(P)
+        ekf.setup(dt=0.1)
+        run = fused_closed_loop_ekf_fn(
+            nmpc, plant, ekf, steps=20, plant_p=np.array(P),
+            meas_noise_std=np.array([0.005]))
+        rng = np.random.default_rng(1)
+        B = 5
+        x0_true = np.array([0.2, 0.1]) + 0.03 * rng.standard_normal((B, 2))
+        x_est0 = x0_true + 0.02 * rng.standard_normal((B, 2))  # biased start
+        res = run(x0_true, x_est0, 0.05 * np.eye(2),
+                  key=jax.random.PRNGKey(0))
+        X, Xe = np.asarray(res.X), np.asarray(res.X_est)
+        assert X.shape == (B, 21, 2) and Xe.shape == (B, 20, 2)
+        # the true closed loop converges to the setpoint through the observer
+        err = np.linalg.norm(X[:, -1, :] - [0.3, 0.18055], axis=1)
+        assert err.max() < 3e-2
+        # the EKF tracks the true state
+        est_err = np.abs(Xe[:, -1, :] - X[:, -1, :]).max()
+        assert est_err < 2e-2
+        assert float(np.asarray(res.converged).mean()) > 0.95
+
     def test_fused_loop_with_process_noise(self):
         import jax
 

@@ -39,6 +39,11 @@ def oracle_solve(funcs, dims, bounds, theta, xs0, fix_x0=True, U0=None,
     ubu = np.asarray(bounds.ubu, dtype=np.float64)
 
     n_u_flat = N * nu
+    if U0 is not None:
+        # the IP engine broadcasts a narrower warm start across control
+        # columns (ip_solver.py:375, jnp.where semantics); mirror that so the
+        # oracle starts from the identical point
+        U0 = np.broadcast_to(np.asarray(U0, np.float64), (N, nu))
 
     def split(z):
         if fix_x0:

@@ -52,8 +52,16 @@ def gen_nmpc_like(name, builder):
     ctrl, sc = builder()
     x = np.asarray(sc["x0"], dtype=float)
     steps = sc["steps"]
+    # open-loop planning configs (e.g. minimum-time) provide a sequence of
+    # initial states instead of a plant stepper; the parity test replays
+    # X_meas either way
+    x_seq = sc.get("x_seq")
     X_meas, U_gold, U_mine, opt_meta = [x.copy()], [], [], []
     for k in range(steps):
+        if x_seq is not None:
+            x = np.asarray(x_seq[k], dtype=float)
+            if k:
+                X_meas.append(x.copy())
         with SolveCapture(ctrl) as cap:
             u_mine = np.atleast_1d(np.asarray(ctrl.optimize(x), dtype=float))
         theta, xs0, U_init = cap.calls[-1]
@@ -64,8 +72,9 @@ def gen_nmpc_like(name, builder):
         U_mine.append(u_mine)
         opt_meta.append([res["objective"], res["optimality"],
                          float(res["success"])])
-        x = np.asarray(sc["plant_step"](x, u_gold), dtype=float)
-        X_meas.append(x.copy())
+        if x_seq is None:
+            x = np.asarray(sc["plant_step"](x, u_gold), dtype=float)
+            X_meas.append(x.copy())
     U_gold, U_mine = np.array(U_gold), np.array(U_mine)
     dev = np.abs(U_mine - U_gold).max()
     path = os.path.join(OUT_DIR, f"{name}.npz")
