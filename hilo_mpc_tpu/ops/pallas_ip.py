@@ -114,10 +114,19 @@ def pallas_full_supported(dims: OCPDims, bounds: OCPBounds, options: IPOptions,
 def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
                           theta_B, x0_B, X_B, U_B,
                           options: IPOptions = IPOptions(),
-                          tile_b: int = 256,
-                          interpret: Optional[bool] = None) -> OCPSolution:
+                          tile_b: Optional[int] = None,
+                          interpret: Optional[bool] = None,
+                          pack: int = 8) -> OCPSolution:
     """Batched whole-solve kernel. Inputs: theta_B (B,N+1,nt), x0_B (B,nx),
-    X_B (B,N+1,nx), U_B (B,N,nu). Returns a batched OCPSolution (leading dim B)."""
+    X_B (B,N+1,nx), U_B (B,N,nu). Returns a batched OCPSolution (leading dim B).
+
+    ``pack`` sets the sublane packing of every per-scenario scalar: pack=1
+    holds each as a (1, tile_b) lane stripe (1 of 8 VREG sublane rows used —
+    this is why the round-2 kernel lost to the XLA path); pack=8 (default)
+    reshapes each tile of ``8*tile_b`` scenarios into (8, tile_b) so every
+    VPU op fills whole (8, 128) VREGs — the layout measured 2.6x faster on
+    the standalone Riccati sweep (tools/roofline.py). One grid step processes
+    ``pack*tile_b`` scenarios."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     from jax.experimental import pallas as pl
@@ -134,8 +143,13 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
     mN_full = 2 * nx
     nt = int(theta_B.shape[-1])
     B = int(theta_B.shape[0])
-    Bpad = _round_up(max(B, 1), tile_b)
+    PK = int(pack)
+    if tile_b is None:
+        tile_b = (8 if interpret else (128 if PK >= 8 else 256))
+    Bpad = _round_up(max(B, 1), PK * tile_b)
     TB = tile_b
+    lanes = Bpad // PK
+    ntiles = lanes // TB
 
     # ---- carry row offsets -------------------------------------------------
     o_X = 0
@@ -244,16 +258,17 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
     def cost_val_lane(x, u, th):
         return funcs.stage_cost(x, u, th)
 
-    dyn_lin_v = jax.vmap(_scalarized(dyn_lin_lane, x_ex, u_ex, th_ex),
-                         in_axes=-1, out_axes=-1)
-    cost_gh_v = jax.vmap(_scalarized(cost_gh_lane, x_ex, u_ex, th_ex),
-                         in_axes=-1, out_axes=-1)
-    term_gh_v = jax.vmap(_scalarized(term_gh_lane, x_ex, th_ex),
-                         in_axes=-1, out_axes=-1)
-    cost_val_v = jax.vmap(_scalarized(cost_val_lane, x_ex, u_ex, th_ex),
-                          in_axes=-1, out_axes=-1)
-    term_val_v = jax.vmap(_scalarized(funcs.term_cost, x_ex, th_ex),
-                          in_axes=-1, out_axes=-1)
+    def _vmap2(f):
+        # batch over the trailing (PK, TB) scenario tile: inner vmap over the
+        # sublane axis, outer over lanes — leaves become (n, P, TB)
+        return jax.vmap(jax.vmap(f, in_axes=-1, out_axes=-1),
+                        in_axes=-1, out_axes=-1)
+
+    dyn_lin_v = _vmap2(_scalarized(dyn_lin_lane, x_ex, u_ex, th_ex))
+    cost_gh_v = _vmap2(_scalarized(cost_gh_lane, x_ex, u_ex, th_ex))
+    term_gh_v = _vmap2(_scalarized(term_gh_lane, x_ex, th_ex))
+    cost_val_v = _vmap2(_scalarized(cost_val_lane, x_ex, u_ex, th_ex))
+    term_val_v = _vmap2(_scalarized(funcs.term_cost, x_ex, th_ex))
 
     mu0 = float(opt.mu_init)
     tol = float(opt.tol)
@@ -267,10 +282,10 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
 
     def kernel(valid_ref, th_ref, X0_ref, U0_ref,
                X_out, U_out, lam_out, s_out, z_out, sNzN_out, misc_out):
-        valid = valid_ref[:]                                   # (1, TB)
+        valid = valid_ref[:]                                   # (PK, TB)
 
         def Cv(C, r):
-            return C[r:r + 1, :]
+            return C[r * PK:(r + 1) * PK, :]
 
         def Xv(C, k, i):
             return Cv(C, o_X + k * nx + i)
@@ -302,13 +317,14 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
         rows0 = []
         for k in range(N + 1):
             for i in range(nx):
-                rows0.append(X0_ref[k, i:i + 1, :])
+                rows0.append(X0_ref[k, i * PK:(i + 1) * PK, :])
         for k in range(N):
             for j in range(nu):
-                rows0.append(U0_ref[k, j:j + 1, :])
-        zeros = jnp.zeros((1, TB), f32)
+                rows0.append(U0_ref[k, j * PK:(j + 1) * PK, :])
+        zeros = jnp.zeros((PK, TB), f32)
         rows0 += [zeros] * (N * nx)                            # lam
         # s/z init needs c0 at the initial point: build a temporary carry view
+        # (row BLOCKS are (PK, TB); K_rows counts blocks, not array rows)
         C_tmp = jnp.concatenate(
             rows0 + [zeros] * (K_rows - len(rows0)), axis=0)
         s0_rows, z0_rows = [], []
@@ -322,48 +338,55 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
             s_i = jnp.maximum(jnp.abs(cval), s_min)
             sN0_rows.append(s_i)
             zN0_rows.append(mu0 / s_i)
-        scal = [jnp.full((1, TB), mu0, f32),                   # mu
-                jnp.full((1, TB), 1e30, f32),                  # kkt
+        scal = [jnp.full((PK, TB), mu0, f32),                   # mu
+                jnp.full((PK, TB), 1e30, f32),                  # kkt
                 zeros,                                         # it
                 1.0 - valid,                                   # conv (pad lanes done)
                 zeros]                                         # div
         C = jnp.concatenate(rows0 + s0_rows + z0_rows + sN0_rows + zN0_rows
                             + scal, axis=0)
 
+        def Cvec(C, o, n):
+            """n consecutive carry blocks as an (n, P, TB) scenario tile."""
+            return C[o * PK:(o + n) * PK, :].reshape(n, PK, TB)
+
+        def thv(k):
+            return th_ref[k].reshape(nt, PK, TB)
+
         def linearize(C):
             """F, A, B, gx, gu, Hxx, Hux, Huu per stage + terminal gN, HN —
-            lists of (1,TB) lane vectors, all computed on-chip via AD.
-            The lane helpers return FLAT TUPLES of (dim,TB) column leaves
+            lists of (P,TB) scenario tiles, all computed on-chip via AD.
+            The lane helpers return FLAT TUPLES of (dim,P,TB) column leaves
             (see comment above dyn_lin_lane); unpack them here."""
             F, A, Bm = [], [], []
             gx, gu, Hxx, Hux, Huu = [], [], [], [], []
             for k in range(N):
-                xk = C[o_X + k * nx:o_X + (k + 1) * nx, :]
-                uk = C[o_U + k * nu:o_U + (k + 1) * nu, :]
-                thk = th_ref[k]
+                xk = Cvec(C, o_X + k * nx, nx)
+                uk = Cvec(C, o_U + k * nu, nu)
+                thk = thv(k)
                 d = dyn_lin_v(xk, uk, thk)
                 Fk, Acols, Bcols = d[0], d[1:1 + nx], d[1 + nx:1 + nx + nu]
                 c = cost_gh_v(xk, uk, thk)
                 gxk, guk = c[0], c[1]
                 # x-basis column j: c[2+2j] = Hxx[:,j], c[3+2j] = Hux[:,j];
                 # u-basis column j: c[3+2nx+2j] = Huu[:,j]
-                F.append([Fk[i:i + 1, :] for i in range(nx)])
-                A.append([[Acols[j][i:i + 1, :] for j in range(nx)]
+                F.append([Fk[i] for i in range(nx)])
+                A.append([[Acols[j][i] for j in range(nx)]
                           for i in range(nx)])
-                Bm.append([[Bcols[j][i:i + 1, :] for j in range(nu)]
+                Bm.append([[Bcols[j][i] for j in range(nu)]
                            for i in range(nx)])
-                gx.append([gxk[i:i + 1, :] for i in range(nx)])
-                gu.append([guk[j:j + 1, :] for j in range(nu)])
-                Hxx.append([[c[2 + 2 * j][i:i + 1, :] for j in range(nx)]
+                gx.append([gxk[i] for i in range(nx)])
+                gu.append([guk[j] for j in range(nu)])
+                Hxx.append([[c[2 + 2 * j][i] for j in range(nx)]
                             for i in range(nx)])
-                Hux.append([[c[3 + 2 * j][i:i + 1, :] for j in range(nx)]
+                Hux.append([[c[3 + 2 * j][i] for j in range(nx)]
                             for i in range(nu)])
-                Huu.append([[c[3 + 2 * nx + 2 * j][i:i + 1, :]
+                Huu.append([[c[3 + 2 * nx + 2 * j][i]
                              for j in range(nu)] for i in range(nu)])
-            xN = C[o_X + N * nx:o_X + (N + 1) * nx, :]
-            t = term_gh_v(xN, th_ref[N])
-            gN = [t[0][i:i + 1, :] for i in range(nx)]
-            HN = [[t[1 + j][i:i + 1, :] for j in range(nx)] for i in range(nx)]
+            xN = Cvec(C, o_X + N * nx, nx)
+            t = term_gh_v(xN, thv(N))
+            gN = [t[0][i] for i in range(nx)]
+            HN = [[t[1 + j][i] for j in range(nx)] for i in range(nx)]
             return F, A, Bm, gx, gu, Hxx, Hux, Huu, gN, HN
 
         def body(C):
@@ -376,8 +399,8 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
             # ---- KKT errors at the current iterate --------------------------
             c_all = [c_rows_stage(C, k) for k in range(N)]
             cN_all = c_rows_term(C)
-            e_stat = jnp.zeros((1, TB), f32)
-            abs_mult = jnp.zeros((1, TB), f32)     # sum |lam| + |z| + |zN|
+            e_stat = jnp.zeros((PK, TB), f32)
+            abs_mult = jnp.zeros((PK, TB), f32)     # sum |lam| + |z| + |zN|
             for k in range(N):
                 # r_u = gu + Bᵀ lam + Cuᵀ z
                 for j in range(nu):
@@ -413,9 +436,9 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
             s_d = jnp.maximum(1.0, abs_mult / denom)
             e_stat = e_stat / s_d
 
-            e_feas = jnp.zeros((1, TB), f32)
-            comp0 = jnp.zeros((1, TB), f32)
-            comp_mu = jnp.zeros((1, TB), f32)
+            e_feas = jnp.zeros((PK, TB), f32)
+            comp0 = jnp.zeros((PK, TB), f32)
+            comp_mu = jnp.zeros((PK, TB), f32)
             for k in range(N):
                 for i in range(nx):                 # r_dyn
                     e_feas = jnp.maximum(
@@ -536,7 +559,7 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
                      for i in range(nx)]
 
             # ---- forward rollout --------------------------------------------
-            dX = [[jnp.zeros((1, TB), f32) for _ in range(nx)]]   # dx0 = 0
+            dX = [[jnp.zeros((PK, TB), f32) for _ in range(nx)]]   # dx0 = 0
             dU, lam_new = [], []
             for k in range(N):
                 dx = dX[k]
@@ -553,8 +576,8 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
 
             # ---- slack/dual directions + fraction-to-boundary ----------------
             tau = jnp.maximum(tau_min, 1.0 - mu_new)
-            a_s = jnp.ones((1, TB), f32)
-            a_z = jnp.ones((1, TB), f32)
+            a_s = jnp.ones((PK, TB), f32)
+            a_z = jnp.ones((PK, TB), f32)
             ds_all, dz_all = [], []
             for k in range(N):
                 ds_k, dz_k = [], []
@@ -589,12 +612,12 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
             alpha = a_s
 
             # ---- updates + guards --------------------------------------------
-            finite = jnp.ones((1, TB), f32)
+            finite = jnp.ones((PK, TB), f32)
             X_rows_new, U_rows_new = [], []
             for k in range(N + 1):
                 for i in range(nx):
                     v = Xv(C, k, i) + (alpha * dX[k][i] if k > 0
-                                       else jnp.zeros((1, TB), f32))
+                                       else jnp.zeros((PK, TB), f32))
                     X_rows_new.append(v)
                     finite = finite * jnp.isfinite(v).astype(f32)
             for k in range(N):
@@ -679,68 +702,81 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
         C = jax.lax.while_loop(cond, body, C)
 
         # ---- objective at the final point + outputs --------------------------
-        obj = jnp.zeros((1, TB), f32)
+        obj = jnp.zeros((PK, TB), f32)
         for k in range(N):
-            xk = C[o_X + k * nx:o_X + (k + 1) * nx, :]
-            uk = C[o_U + k * nu:o_U + (k + 1) * nu, :]
-            obj = obj + cost_val_v(xk, uk, th_ref[k])[None, :]
-        xN = C[o_X + N * nx:o_X + (N + 1) * nx, :]
-        obj = obj + term_val_v(xN, th_ref[N])[None, :]
+            xk = Cvec(C, o_X + k * nx, nx)
+            uk = Cvec(C, o_U + k * nu, nu)
+            obj = obj + cost_val_v(xk, uk, thv(k))
+        xN = Cvec(C, o_X + N * nx, nx)
+        obj = obj + term_val_v(xN, thv(N))
 
+        ones = jnp.ones((PK, TB), f32)
         for k in range(N + 1):
             for i in range(nx):
-                X_out[k, i, :] = Xv(C, k, i)[0]
+                X_out[k, i * PK:(i + 1) * PK, :] = Xv(C, k, i)
         for k in range(N):
             for j in range(nu):
-                U_out[k, j, :] = Uv(C, k, j)[0]
+                U_out[k, j * PK:(j + 1) * PK, :] = Uv(C, k, j)
             for i in range(nx):
-                lam_out[k, i, :] = lamv(C, k, i)[0]
+                lam_out[k, i * PK:(i + 1) * PK, :] = lamv(C, k, i)
         for r in range(max(R_s, 1)):
-            s_out[r, :] = C[o_s + r, :] if R_s else jnp.ones(TB, f32)
-            z_out[r, :] = C[o_z + r, :] if R_s else jnp.ones(TB, f32)
-        for r in range(max(R_t, 1)):
-            sNzN_out[r, :] = C[o_sN + r, :] if R_t else jnp.ones(TB, f32)
-            sNzN_out[max(R_t, 1) + r, :] = (C[o_zN + r, :] if R_t
-                                            else jnp.ones(TB, f32))
-        misc_out[0, :] = Cv(C, o_mu)[0]
-        misc_out[1, :] = Cv(C, o_kkt)[0]
-        misc_out[2, :] = obj[0]
-        misc_out[3, :] = Cv(C, o_it)[0]
-        misc_out[4, :] = Cv(C, o_conv)[0]
-        misc_out[5, :] = Cv(C, o_div)[0]
+            s_out[r * PK:(r + 1) * PK, :] = Cv(C, o_s + r) if R_s else ones
+            z_out[r * PK:(r + 1) * PK, :] = Cv(C, o_z + r) if R_s else ones
+        rt = max(R_t, 1)
+        for r in range(rt):
+            sNzN_out[r * PK:(r + 1) * PK, :] = (Cv(C, o_sN + r) if R_t
+                                              else ones)
+            sNzN_out[(rt + r) * PK:(rt + r + 1) * PK, :] = (
+                Cv(C, o_zN + r) if R_t else ones)
+        misc_out[0 * PK:1 * PK, :] = Cv(C, o_mu)
+        misc_out[1 * PK:2 * PK, :] = Cv(C, o_kkt)
+        misc_out[2 * PK:3 * PK, :] = obj
+        misc_out[3 * PK:4 * PK, :] = Cv(C, o_it)
+        misc_out[4 * PK:5 * PK, :] = Cv(C, o_conv)
+        misc_out[5 * PK:6 * PK, :] = Cv(C, o_div)
 
     # ---- host-side packing ---------------------------------------------------
+    # scenario b = t*P*TB + s*TB + l lands at [row i*P+s, col t*TB+l]: each
+    # per-scenario scalar fills whole (PK, TB) sublane tiles (cf.
+    # pallas_kernels.riccati_lq_pallas to_feat)
     def to_feat(x, n_lead, nfeat):
         x = jnp.asarray(x, f32).reshape(B, n_lead, nfeat)
-        x = jnp.moveaxis(x, 0, -1)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, Bpad - B)))
+        x = jnp.pad(x, ((0, Bpad - B), (0, 0), (0, 0)))
+        x = x.reshape(ntiles, PK, TB, n_lead, nfeat)
+        return x.transpose(3, 4, 1, 0, 2).reshape(n_lead, nfeat * PK, lanes)
+
+    def from_feat(y, n_lead, nfeat):
+        y = y.reshape(n_lead, nfeat, PK, ntiles, TB)
+        y = y.transpose(3, 2, 4, 0, 1).reshape(Bpad, n_lead, nfeat)
+        return y[:B]
 
     X_B = jnp.asarray(X_B, f32).at[:, 0, :].set(jnp.asarray(x0_B, f32))
     th_f = to_feat(theta_B, N + 1, nt)
     X_f = to_feat(X_B, N + 1, nx)
     U_f = to_feat(U_B, N, nu)
-    valid = (jnp.arange(Bpad) < B).astype(f32)[None, :]
+    valid = to_feat((jnp.arange(Bpad) < B).astype(f32)[:B],
+                    1, 1)[0]                         # (P, lanes)
 
-    grid = (Bpad // TB,)
+    grid = (ntiles,)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def spec3(n_lead, nfeat):
-        return pl.BlockSpec((n_lead, nfeat, TB), lambda i: (0, 0, i),
+        return pl.BlockSpec((n_lead, nfeat * PK, TB), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
 
     out_shape = (
-        jax.ShapeDtypeStruct((N + 1, nx, Bpad), f32),
-        jax.ShapeDtypeStruct((N, nu, Bpad), f32),
-        jax.ShapeDtypeStruct((N, nx, Bpad), f32),
-        jax.ShapeDtypeStruct((max(R_s, 1), Bpad), f32),
-        jax.ShapeDtypeStruct((max(R_s, 1), Bpad), f32),
-        jax.ShapeDtypeStruct((2 * max(R_t, 1), Bpad), f32),
-        jax.ShapeDtypeStruct((6, Bpad), f32),
+        jax.ShapeDtypeStruct((N + 1, nx * PK, lanes), f32),
+        jax.ShapeDtypeStruct((N, nu * PK, lanes), f32),
+        jax.ShapeDtypeStruct((N, nx * PK, lanes), f32),
+        jax.ShapeDtypeStruct((max(R_s, 1) * PK, lanes), f32),
+        jax.ShapeDtypeStruct((max(R_s, 1) * PK, lanes), f32),
+        jax.ShapeDtypeStruct((2 * max(R_t, 1) * PK, lanes), f32),
+        jax.ShapeDtypeStruct((6 * PK, lanes), f32),
     )
 
     def spec2(nr):
-        return pl.BlockSpec((nr, TB), lambda i: (0, i),
+        return pl.BlockSpec((nr * PK, TB), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     X_o, U_o, lam_o, s_o, z_o, sNzN_o, misc = pl.pallas_call(
@@ -754,12 +790,16 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
         interpret=interpret,
     )(valid, th_f, X_f, U_f)
 
-    def back(x, shape):
-        return jnp.moveaxis(x, -1, 0)[:B].reshape(shape)
+    def back(x, shape, n_lead, nfeat):
+        return from_feat(x, n_lead, nfeat).reshape(shape)
 
-    X = back(X_o, (B, N + 1, nx))
-    U = back(U_o, (B, N, nu))
-    lam = back(lam_o, (B, N, nx))
+    def back2(x, nr):
+        # (nr*P, lanes) -> (B, nr)
+        return from_feat(x.reshape(1, nr * PK, lanes), 1, nr)[:, 0, :]
+
+    X = back(X_o, (B, N + 1, nx), N + 1, nx)
+    U = back(U_o, (B, N, nu), N, nu)
+    lam = back(lam_o, (B, N, nx), N, nx)
     # scatter active rows back into the full (N, m) layout; masked rows are 1.0
     # (the XLA path pins them to 1.0 each iteration)
     s_full = jnp.ones((B, N, m_full), f32)
@@ -769,8 +809,8 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
                                 for k in range(N)])
         c_idx = np.concatenate([np.array([r.full_col for r in rows_k[k]],
                                          np.int32) for k in range(N)])
-        s_rows = jnp.moveaxis(s_o, -1, 0)[:B]       # (B, R_s)
-        z_rows = jnp.moveaxis(z_o, -1, 0)[:B]
+        s_rows = back2(s_o, max(R_s, 1))[:, :R_s]   # (B, R_s)
+        z_rows = back2(z_o, max(R_s, 1))[:, :R_s]
         s_full = s_full.at[:, k_idx, c_idx].set(s_rows)
         z_full = z_full.at[:, k_idx, c_idx].set(z_rows)
     sN_full = jnp.ones((B, mN_full), f32)
@@ -778,11 +818,12 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
     if R_t:
         cN_idx = np.array([r.full_col for r in rows_t], np.int32)
         rt = max(R_t, 1)
-        sN_rows = jnp.moveaxis(sNzN_o[:R_t], -1, 0)[:B]
-        zN_rows = jnp.moveaxis(sNzN_o[rt:rt + R_t], -1, 0)[:B]
+        sNzN_b = back2(sNzN_o, 2 * rt)
+        sN_rows = sNzN_b[:, :R_t]
+        zN_rows = sNzN_b[:, rt:rt + R_t]
         sN_full = sN_full.at[:, cN_idx].set(sN_rows)
         zN_full = zN_full.at[:, cN_idx].set(zN_rows)
-    misc_b = jnp.moveaxis(misc, -1, 0)[:B]          # (B, 6)
+    misc_b = back2(misc, 6)                          # (B, 6)
     conv = misc_b[:, 4] > 0.5
     div = misc_b[:, 5] > 0.5
     status = jnp.where(conv, 0, jnp.where(div, 2, 1)).astype(jnp.int32)

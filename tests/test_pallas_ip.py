@@ -119,6 +119,25 @@ def test_solve_batch_fn_engages_kernel():
     assert (np.asarray(sol_w.iterations) <= np.asarray(sol.iterations)).all()
 
 
+def test_pack_layouts_agree():
+    # pack=8 (full-VREG sublane packing) is a pure layout change of the
+    # whole-solve kernel: identical math, bit-comparable trajectories
+    nmpc = _flagship(N=5)
+    args = _batch(nmpc, 6, seed=7)
+    sol1 = solve_ocp_pallas_full(nmpc._funcs, nmpc._dims, nmpc._bounds,
+                                 *args, options=nmpc._ip_opts, tile_b=8,
+                                 pack=1)
+    sol8 = solve_ocp_pallas_full(nmpc._funcs, nmpc._dims, nmpc._bounds,
+                                 *args, options=nmpc._ip_opts, tile_b=8,
+                                 pack=8)
+    assert np.array_equal(np.asarray(sol1.iterations),
+                          np.asarray(sol8.iterations))
+    np.testing.assert_allclose(np.asarray(sol1.U), np.asarray(sol8.U),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sol1.X), np.asarray(sol8.X),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_supported_gate():
     nmpc = _flagship(N=4)
     assert pallas_full_supported(nmpc._dims, nmpc._bounds, nmpc._ip_opts, True)
