@@ -35,6 +35,18 @@ the way XLA's fusion+pipelining does across the batch, and its lane-vector
 matmuls never reach the MXU. It therefore stays OPT-IN (`pallas_full` option,
 default off); the production batched path is XLA + the fused Pallas Riccati
 sweep kernel (ops/pallas_kernels.riccati_lq_pallas).
+
+Round-3 addendum: the kernel was parametrized with the pack=8 full-VREG
+sublane layout that made the standalone Riccati sweep 2.6x faster (the lane
+-stripe inefficiency above was the prime suspect for the 0.33x). It is
+numerically identical (interpret-mode parity tests) but UNMEASURABLE on the
+chip so far: Mosaic's compile of this kernel at pack=8 runs >75 minutes
+(killed), vs 116 s at pack=1 — re-measured pack=1 at 452k solves/s B=65536,
+within noise of round 2. The compile blowup is specific to this kernel's
+unrolled whole-IP body (the sweep kernel compiles at pack=8 in ~5 s). The
+roofline analysis (docs/PERFORMANCE.md) still identifies the fully-fused
+solve as the main remaining perf lever — blocked on the Mosaic compile
+pathology, not on the design.
 """
 from __future__ import annotations
 
@@ -116,16 +128,22 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
                           options: IPOptions = IPOptions(),
                           tile_b: Optional[int] = None,
                           interpret: Optional[bool] = None,
-                          pack: int = 8) -> OCPSolution:
+                          pack: int = 1) -> OCPSolution:
     """Batched whole-solve kernel. Inputs: theta_B (B,N+1,nt), x0_B (B,nx),
     X_B (B,N+1,nx), U_B (B,N,nu). Returns a batched OCPSolution (leading dim B).
 
     ``pack`` sets the sublane packing of every per-scenario scalar: pack=1
-    holds each as a (1, tile_b) lane stripe (1 of 8 VREG sublane rows used —
-    this is why the round-2 kernel lost to the XLA path); pack=8 (default)
-    reshapes each tile of ``8*tile_b`` scenarios into (8, tile_b) so every
-    VPU op fills whole (8, 128) VREGs — the layout measured 2.6x faster on
-    the standalone Riccati sweep (tools/roofline.py). One grid step processes
+    (default) holds each as a (1, tile_b) lane stripe (1 of 8 VREG sublane
+    rows used — a structural reason this kernel loses to the XLA path);
+    pack=8 reshapes each tile of ``8*tile_b`` scenarios into (8, tile_b) so
+    every VPU op fills whole (8, 128) VREGs — the layout measured 2.6x
+    faster on the standalone Riccati sweep (tools/roofline.py) and is
+    numerically identical here (interpret-mode parity test). It is NOT the
+    default because Mosaic's compile of THIS kernel at pack=8 is
+    pathological (>75 min on v5e vs 116 s at pack=1, measured 2026-08-21,
+    both with the 2-D flattened-lane AD formulation — the small Riccati
+    sweep kernel compiles in ~5 s at pack=8, so the blowup is specific to
+    this kernel's unrolled whole-IP body). One grid step processes
     ``pack*tile_b`` scenarios."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -259,10 +277,24 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
         return funcs.stage_cost(x, u, th)
 
     def _vmap2(f):
-        # batch over the trailing (PK, TB) scenario tile: inner vmap over the
-        # sublane axis, outer over lanes — leaves become (n, P, TB)
-        return jax.vmap(jax.vmap(f, in_axes=-1, out_axes=-1),
-                        in_axes=-1, out_axes=-1)
+        """Batch f over the trailing (PK, TB) scenario tile.
+
+        A nested vmap (sublane axis inside lanes) makes every AD intermediate
+        3-D (n, PK, TB) — Mosaic compiles those pathologically (hour-plus on
+        v5e, measured). Instead the tile is flattened to one PK*TB lane axis
+        for the vmapped call (2-D intermediates, the round-2 compile profile)
+        and the leaves are reshaped back to (n, PK, TB) so the solver algebra
+        outside the AD runs on full-VREG (PK, TB) tiles."""
+        fv = jax.vmap(f, in_axes=-1, out_axes=-1)
+
+        def g(*args):
+            flat = [a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],))
+                    for a in args]
+            out = fv(*flat)
+            return jax.tree.map(
+                lambda o: o.reshape(o.shape[:-1] + (PK, TB)), out)
+
+        return g
 
     dyn_lin_v = _vmap2(_scalarized(dyn_lin_lane, x_ex, u_ex, th_ex))
     cost_gh_v = _vmap2(_scalarized(cost_gh_lane, x_ex, u_ex, th_ex))
