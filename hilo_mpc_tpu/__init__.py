@@ -7,7 +7,7 @@ implementation underneath is JAX/XLA/Pallas-native. See ARCHITECTURE.md.
 from .core.model import Model
 from .core.series import TimeSeries
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 _LAZY = {
     # control

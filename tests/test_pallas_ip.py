@@ -47,8 +47,8 @@ def _ref_solve(nmpc, args):
 
 
 def test_matches_general_path_flagship():
-    nmpc = _flagship(N=6)
-    args = _batch(nmpc, 8)
+    nmpc = _flagship(N=5)
+    args = _batch(nmpc, 6)
     sol_ref = _ref_solve(nmpc, args)
     sol_pl = solve_ocp_pallas_full(nmpc._funcs, nmpc._dims, nmpc._bounds,
                                    *args, options=nmpc._ip_opts, tile_b=8)
@@ -63,7 +63,7 @@ def test_matches_general_path_flagship():
                                np.asarray(sol_ref.objective), rtol=1e-4)
     # multipliers/slacks in the full (N, m) layout, masked rows pinned at 1.0
     m = 2 * nmpc._dims.nu + 2 * nmpc._dims.nx
-    assert sol_pl.s.shape == (8, 6, m)
+    assert sol_pl.s.shape == (6, 5, m)
     np.testing.assert_allclose(np.asarray(sol_pl.s[:, 1:, 2:]), 1.0)  # x rows off
     np.testing.assert_allclose(np.asarray(sol_pl.s[:, :, :2]),
                                np.asarray(sol_ref.s[:, :, :2]), atol=5e-4)
@@ -74,13 +74,13 @@ def test_matches_general_path_flagship():
 def test_active_state_and_terminal_bounds():
     # state box + terminal rows active: exercises x-row condensation and the
     # terminal slack/dual block
-    nmpc = _flagship(N=5)
+    nmpc = _flagship(N=4)
     nmpc.set_box_constraints(x_lb=[0.0, 0.0], x_ub=[0.29, 0.8],
                              u_lb=[-5.0], u_ub=[5.0])
     nmpc.setup(options={"dt": 0.1, "integration_method": "rk4", "tol": 1e-4,
-                        "max_iter": 14, "convexify": False, "n_linesearch": 1,
+                        "max_iter": 12, "convexify": False, "n_linesearch": 1,
                         "mu_init": 1e-2, "mehrotra": False})
-    args = _batch(nmpc, 6, seed=3)
+    args = _batch(nmpc, 5, seed=3)
     sol_ref = _ref_solve(nmpc, args)
     sol_pl = solve_ocp_pallas_full(nmpc._funcs, nmpc._dims, nmpc._bounds,
                                    *args, options=nmpc._ip_opts, tile_b=8)
@@ -106,7 +106,7 @@ def test_padding_lanes_and_batch_not_multiple_of_tile():
 
 
 def test_solve_batch_fn_engages_kernel():
-    nmpc = _flagship(N=5, pallas_full=True, pallas_tile=8)
+    nmpc = _flagship(N=4, pallas_full=True, pallas_tile=8)
     args = _batch(nmpc, 4, seed=2)
     sol = nmpc.solve_batch_fn()(*args)
     assert np.asarray(sol.converged).all()
@@ -122,8 +122,8 @@ def test_solve_batch_fn_engages_kernel():
 def test_pack_layouts_agree():
     # pack=8 (full-VREG sublane packing) is a pure layout change of the
     # whole-solve kernel: identical math, bit-comparable trajectories
-    nmpc = _flagship(N=5)
-    args = _batch(nmpc, 6, seed=7)
+    nmpc = _flagship(N=4)
+    args = _batch(nmpc, 4, seed=7)
     sol1 = solve_ocp_pallas_full(nmpc._funcs, nmpc._dims, nmpc._bounds,
                                  *args, options=nmpc._ip_opts, tile_b=8,
                                  pack=1)

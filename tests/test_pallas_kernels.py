@@ -88,7 +88,7 @@ class TestRiccatiLQPallas:
     def test_matches_solve_lq(self, nx, nu):
         from hilo_mpc_tpu.ops.pallas_kernels import riccati_lq_pallas
         from hilo_mpc_tpu.ops.riccati import solve_lq
-        args = self._problem(5, 7, nx, nu)
+        args = self._problem(5, 5, nx, nu)
         ref = jax.vmap(lambda *a: solve_lq(*a, reg=1e-8))(*args)
         dX, dU, lam, K, kff, dec = riccati_lq_pallas(*args, tile_b=8)
         np.testing.assert_allclose(np.asarray(dU), np.asarray(ref.dU),
