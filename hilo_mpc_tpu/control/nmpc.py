@@ -681,19 +681,30 @@ class NMPC:
         self._ip_opts = ip_opts
         self._warm_start = options.get("warm_start", True)
 
-        self._solve_jit = jax.jit(partial(
+        # ONE jitted solver shared by cold- and warm-start paths: the warm
+        # variant differs only in the initial barrier, which is passed as a
+        # RUNTIME scalar (mu0) — one trace, one compiled executable per
+        # configuration instead of two (halves per-config trace/compile cost
+        # in tests and on remote-compile backends).
+        _base_solve = jax.jit(partial(
             solve_ocp, funcs, dims, options=ip_opts, fix_x0=True))
         # warm-started solves (closed loop) start from a near-optimal point: a
         # small initial barrier skips the early centering iterations
-        import dataclasses as _dc
         # (mu never increases in the monotone scheme, so don't start too low)
         # measured on v5e (B=32768 closed-loop regime): 1e-3 -> 3 IP
         # iterations p50 vs 4 at 1e-2, +17% warm-start throughput, 100%
         # convergence incl. online setpoint changes (ref_sc tests)
-        warm_opts = _dc.replace(ip_opts,
-                                mu_init=min(ip_opts.mu_init, 1e-3))
-        self._solve_warm_jit = jax.jit(partial(
-            solve_ocp, funcs, dims, options=warm_opts, fix_x0=True))
+        _mu_cold = float(ip_opts.mu_init)
+        _mu_warm = min(float(ip_opts.mu_init), 1e-3)
+
+        def _solve_cold(b, th, x0s, Xi, Ui):
+            return _base_solve(b, th, x0s, Xi, Ui, mu0=_mu_cold)
+
+        def _solve_warm(b, th, x0s, Xi, Ui):
+            return _base_solve(b, th, x0s, Xi, Ui, mu0=_mu_warm)
+
+        self._solve_jit = _solve_cold
+        self._solve_warm_jit = _solve_warm
         self._solve_batch_jit = None
 
         # jitted cold-start rollout (a Python-loop rollout would dispatch N eager
@@ -1483,10 +1494,11 @@ class NMPC:
         """
         if not self._setup_done:
             raise RuntimeError("call setup() first")
-        import dataclasses as _dc
         opts = self._ip_opts
-        if warm:
-            opts = _dc.replace(opts, mu_init=min(opts.mu_init, 1e-3))
+        # warm vs cold differ only in the initial barrier — passed as a
+        # runtime scalar below so both variants share one executable
+        mu_val = (min(float(opts.mu_init), 1e-3) if warm
+                  else float(opts.mu_init))
         bounds = self._bounds
 
         if opts.pallas_full:
@@ -1494,11 +1506,14 @@ class NMPC:
                                          solve_ocp_pallas_full)
             if pallas_full_supported(self._dims, bounds, opts, fix_x0=True):
                 funcs, dims = self._funcs, self._dims
+                # the whole-solve kernel reads mu_init statically
+                import dataclasses as _dc
+                opts_pl = _dc.replace(opts, mu_init=mu_val)
 
                 def solve_many_pl(theta_B, xs0_B, X_B, U_B):
                     return solve_ocp_pallas_full(
                         funcs, dims, bounds, theta_B, xs0_B, X_B, U_B,
-                        options=opts, tile_b=opts.pallas_tile)
+                        options=opts_pl, tile_b=opts.pallas_tile)
 
                 return jax.jit(solve_many_pl)
             import warnings
@@ -1509,11 +1524,12 @@ class NMPC:
         solver = partial(solve_ocp, self._funcs, self._dims,
                          options=opts, fix_x0=True)
 
-        def solve_many(theta_B, xs0_B, X_B, U_B):
-            return jax.vmap(lambda th, x0s, Xi, Ui: solver(bounds, th, x0s, Xi, Ui)
-                            )(theta_B, xs0_B, X_B, U_B)
+        def solve_many(theta_B, xs0_B, X_B, U_B, mu0):
+            return jax.vmap(lambda th, x0s, Xi, Ui: solver(
+                bounds, th, x0s, Xi, Ui, mu0=mu0))(theta_B, xs0_B, X_B, U_B)
 
-        return jax.jit(solve_many)
+        jfn = jax.jit(solve_many)
+        return lambda th, x0s, Xi, Ui: jfn(th, x0s, Xi, Ui, mu_val)
 
     def prepare_batch(self, x0_batch, cp=None, tvp=None, ref=None):
         """Vectorized solver inputs for B scenarios:

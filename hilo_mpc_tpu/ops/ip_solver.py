@@ -216,18 +216,24 @@ def solve_ocp(
     U_init: jnp.ndarray,           # (N, nu)
     options: IPOptions = IPOptions(),
     fix_x0: bool = True,
+    mu0: Optional[jnp.ndarray] = None,
 ) -> OCPSolution:
-    """Solve one OCP instance. jit/vmap-compatible; all control flow is lax."""
+    """Solve one OCP instance. jit/vmap-compatible; all control flow is lax.
+
+    ``mu0`` optionally overrides ``options.mu_init`` as a RUNTIME value (a
+    traced scalar): cold- and warm-start solvers differ only in the initial
+    barrier, so passing it dynamically lets both share ONE trace and ONE
+    compiled executable instead of two per configuration."""
     # TPU MXU matmuls default to bf16 inputs; the Riccati/Newton arithmetic needs
     # full f32 to reach 1e-4 KKT tolerances (measured: bf16 default -> 12% batch
     # convergence, full f32 -> 100%)
     with jax.default_matmul_precision("highest"):
         return _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init,
-                               options, fix_x0)
+                               options, fix_x0, mu0)
 
 
 def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
-                    fix_x0) -> OCPSolution:
+                    fix_x0, mu0_dyn=None) -> OCPSolution:
     nx, nu, N = dims.nx, dims.nu, dims.N
     m = 2 * nu + 2 * nx + dims.n_h
     mN = 2 * nx + dims.n_hN
@@ -379,7 +385,7 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
     U = jnp.where(pin, pin_val, U_init)
     c0 = stage_c(X, U)
     cN0 = term_c(X)
-    mu0 = jnp.asarray(opt.mu_init, dtype)
+    mu0 = jnp.asarray(opt.mu_init if mu0_dyn is None else mu0_dyn, dtype)
     # |c| (not -c): a constraint VIOLATED at the initial point must still get a
     # slack at its own scale — s ~ s_min would give barrier curvature mu/s^2 that
     # pins the iterate at the infeasible point forever
