@@ -140,8 +140,9 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
     faster on the standalone Riccati sweep (tools/roofline.py) and is
     numerically identical here (interpret-mode parity test). It is NOT the
     default because Mosaic's compile of THIS kernel at pack=8 is
-    pathological (>75 min on v5e vs 116 s at pack=1, measured 2026-08-21,
-    both with the 2-D flattened-lane AD formulation — the small Riccati
+    pathological (>75 min at tile 128 and >3 h at tile 256, both killed, vs
+    116 s at pack=1 — measured 2026-08-21 with the 2-D flattened-lane AD
+    formulation — the small Riccati
     sweep kernel compiles in ~5 s at pack=8, so the blowup is specific to
     this kernel's unrolled whole-IP body). One grid step processes
     ``pack*tile_b`` scenarios."""
