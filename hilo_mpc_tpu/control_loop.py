@@ -25,7 +25,7 @@ class _LiveLoopPlot:
     animates in interactive backends and is a no-op-safe redraw under Agg.
     """
 
-    def __init__(self, solution, pause: float = 1e-3):
+    def __init__(self, solution, pause: float = 1e-3, refs=None, bounds=None):
         import matplotlib.pyplot as plt
 
         self._plt = plt
@@ -46,6 +46,15 @@ class _LiveLoopPlot:
             style = dict(drawstyle="steps-post") if kind == "u" else {}
             (line,) = ax.plot([], [], "-o", ms=3, **style)
             ax.set_ylabel(nm)
+            # static overlays, same contract as the bokeh live backend
+            if refs and nm in refs:
+                ax.axhline(float(np.asarray(refs[nm]).ravel()[0]),
+                           ls="--", lw=1.2, color="tab:green")
+            if bounds and nm in bounds:
+                for v in bounds[nm]:
+                    if v is not None and np.all(np.isfinite(v)):
+                        ax.axhline(float(np.asarray(v).ravel()[0]),
+                                   ls=":", lw=1.2, color="tab:red")
             self._lines.append(line)
         self._axes[-1].set_xlabel("t")
         self.n_draws = 0
@@ -81,13 +90,15 @@ def _make_live_plotter(solution, live_plot, **kwargs):
         from .utils.plotting_bokeh import LiveBokehLoopPlot
 
         return LiveBokehLoopPlot(solution, **kwargs)
+    mpl_kwargs = {k: kwargs.pop(k) for k in ("refs", "bounds", "pause")
+                  if k in kwargs}
     if kwargs:
         import warnings
 
         warnings.warn(
-            "live_plot_kwargs are only used by the bokeh live backend; "
-            f"ignored on matplotlib: {sorted(kwargs)}", stacklevel=3)
-    return _LiveLoopPlot(solution)
+            "these live_plot_kwargs are only used by the bokeh live "
+            f"backend; ignored on matplotlib: {sorted(kwargs)}", stacklevel=3)
+    return _LiveLoopPlot(solution, **mpl_kwargs)
 
 
 class SimpleControlLoop:

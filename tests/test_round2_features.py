@@ -217,6 +217,35 @@ class TestLivePlot:
 
         plt.close(created["plot"].fig)
 
+    def test_live_plot_refs_bounds_overlays(self):
+        # refs/bounds live_plot_kwargs draw static overlays on the matplotlib
+        # live backend (same contract as the bokeh live plot's Spans)
+        import matplotlib.pyplot as plt
+
+        loop = self._loop()
+        sol = loop.run(2, live_plot=True,
+                       live_plot_kwargs={"refs": {"th": 0.0},
+                                         "bounds": {"tau": (-3.0, 3.0)}})
+        assert sol.n_samples == 2
+        by_label = {ax.get_ylabel(): ax
+                    for n in plt.get_fignums()
+                    for ax in plt.figure(n).axes}
+        th_lines = [ln for ln in by_label["th"].get_lines()
+                    if ln.get_linestyle() == "--"]
+        assert len(th_lines) == 1 and th_lines[0].get_ydata()[0] == 0.0
+        tau_lines = [ln for ln in by_label["tau"].get_lines()
+                     if ln.get_linestyle() == ":"]
+        assert sorted(ln.get_ydata()[0] for ln in tau_lines) == [-3.0, 3.0]
+        plt.close("all")
+
+    def test_live_plot_unknown_kwargs_warn_on_mpl(self):
+        loop = self._loop()
+        with pytest.warns(UserWarning, match="ignored on matplotlib"):
+            loop.run(1, live_plot=True, live_plot_kwargs={"mode": "server"})
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
+
     def test_live_plot_off_creates_no_figure(self, monkeypatch):
         import hilo_mpc_tpu.control_loop as cl
 
