@@ -126,6 +126,49 @@ class TestFusedClosedLoop:
         assert est_err < 2e-2
         assert float(np.asarray(res.converged).mean()) > 0.95
 
+    def test_fused_loop_with_mhe_feedback(self):
+        # MHE observer fused into the loop: controller solve + plant step +
+        # measurement + window-NLP solve per scan step (two IP solves/step)
+        import jax
+
+        from hilo_mpc_tpu.estimation.mhe import MovingHorizonEstimator
+        from hilo_mpc_tpu.parallel import fused_closed_loop_mhe_fn
+
+        P = [1.0] * 6
+        plant = cstr_schaffner_and_zeitz()
+        plant.setup(dt=0.1, integration_method="rk4")
+        nmpc = make_nmpc(N=8)
+        mhe = MovingHorizonEstimator(cstr_schaffner_and_zeitz())
+        mhe.horizon = 6
+        mhe.Q, mhe.R = 1e-2 * np.eye(2), np.array([[1e-2]])
+        mhe.P0 = 0.1 * np.eye(2)
+        mhe.set_initial_parameter_values(P)
+        mhe.setup(dt=0.1, options={"tol": 1e-6, "max_iter": 25})
+        run = fused_closed_loop_mhe_fn(
+            nmpc, plant, mhe, steps=15, plant_p=np.array(P),
+            meas_noise_std=np.array([0.002]))
+        # pre-fill the measurement window from a short true rollout
+        B, Nw = 4, 6
+        rng = np.random.default_rng(2)
+        x0 = np.array([0.2, 0.1]) + 0.02 * rng.standard_normal((B, 2))
+        Ys = np.zeros((B, Nw + 1, 1))
+        Us = np.zeros((B, Nw + 1, 1))
+        Xk = x0.copy()
+        for k in range(Nw + 1):
+            Ys[:, k, 0] = Xk[:, 1] + 0.002 * rng.standard_normal(B)
+            if k < Nw:
+                out = plant.simulate(x0=Xk, u=np.zeros((1, 1)), p=P, steps=1)
+                Xk = np.asarray(out["x"])[:, -1, :]
+        res = run(Xk, Ys, Us, x0, key=jax.random.PRNGKey(0))
+        X, Xe = np.asarray(res.X), np.asarray(res.X_est)
+        assert X.shape == (B, 16, 2) and Xe.shape == (B, 15, 2)
+        err = np.linalg.norm(X[:, -1, :] - [0.3, 0.18055], axis=1)
+        assert err.max() < 5e-2
+        est_err = np.abs(Xe[:, -1, :] - X[:, -1, :]).max()
+        assert est_err < 3e-2
+        assert float(np.asarray(res.converged).mean()) > 0.95
+        assert float(np.asarray(res.mhe_converged).mean()) > 0.9
+
     def test_fused_loop_with_process_noise(self):
         import jax
 
