@@ -126,6 +126,35 @@ class TestFusedClosedLoop:
         assert est_err < 2e-2
         assert float(np.asarray(res.converged).mean()) > 0.95
 
+    def test_fused_loop_with_ukf_feedback(self):
+        # the fused observer loop takes any filter with the pure step_fn
+        # contract (x, P, u, p, y, t) -> (x+, P+, y_pred): UKF drops in
+        import jax
+
+        from hilo_mpc_tpu.estimation import UnscentedKalmanFilter
+        from hilo_mpc_tpu.parallel import fused_closed_loop_ekf_fn
+
+        P = [1.0] * 6
+        plant = cstr_schaffner_and_zeitz()
+        plant.setup(dt=0.1, integration_method="rk4")
+        nmpc = make_nmpc(N=8)
+        ukf = UnscentedKalmanFilter(cstr_schaffner_and_zeitz())
+        ukf.Q = 1e-4 * np.eye(2)
+        ukf.R = np.array([[1e-4]])
+        ukf.set_initial_parameter_values(P)
+        ukf.setup(dt=0.1)
+        run = fused_closed_loop_ekf_fn(
+            nmpc, plant, ukf, steps=15, plant_p=np.array(P),
+            meas_noise_std=np.array([0.003]))
+        rng = np.random.default_rng(3)
+        B = 3
+        x0 = np.array([0.2, 0.1]) + 0.02 * rng.standard_normal((B, 2))
+        res = run(x0, x0 + 0.01, 0.05 * np.eye(2), key=jax.random.PRNGKey(1))
+        X = np.asarray(res.X)
+        err = np.linalg.norm(X[:, -1, :] - [0.3, 0.18055], axis=1)
+        assert err.max() < 5e-2
+        assert float(np.asarray(res.converged).mean()) > 0.95
+
     def test_fused_loop_with_mhe_feedback(self):
         # MHE observer fused into the loop: controller solve + plant step +
         # measurement + window-NLP solve per scan step (two IP solves/step)
