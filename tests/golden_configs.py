@@ -353,6 +353,32 @@ def build_smpc_chance():
     return smpc, scenario
 
 
+# -- configs[9]: Δu-augmented tracking ----------------------------------------
+# input-increment cost + Δu bounds: the solver state is augmented with u_prev
+# and the control variable is Δu — the formulation behind Δu RTI
+
+def build_du_tracking():
+    from hilo_mpc_tpu import NMPC
+    from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
+
+    nmpc = NMPC(cstr_schaffner_and_zeitz())
+    nmpc.horizon = 15
+    nmpc.quad_stage_cost.add_states(weights=[10.0, 10.0], ref=CSTR_REF)
+    nmpc.quad_stage_cost.add_inputs(weights=0.1)
+    nmpc.quad_stage_cost.add_inputs_change(weights=0.5)
+    nmpc.set_box_constraints(u_lb=[-5.0], u_ub=[5.0],
+                             du_lb=[-0.5], du_ub=[0.5])
+    nmpc.set_parameters(CSTR_P)
+    nmpc.setup(options={"dt": 0.1, "integration_method": "rk4",
+                        "tol": 1e-9, "max_iter": 80})
+    scenario = {
+        "x0": np.array([0.2, 0.1]),
+        "steps": 25,
+        "plant_step": lambda x, u: rk4_np(cstr_ode_np, x, u, 0.1),
+    }
+    return nmpc, scenario
+
+
 CONFIGS = {
     "cstr_tracking": build_cstr_tracking,
     "lmpc_di": build_lmpc_di,
@@ -363,4 +389,5 @@ CONFIGS = {
     "mintime": build_mintime,
     "dae_colloc": build_dae_colloc,
     "smpc_chance": build_smpc_chance,
+    "du_tracking": build_du_tracking,
 }
