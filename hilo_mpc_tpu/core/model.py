@@ -577,10 +577,21 @@ class Model:
                     f"per-scenario u has shape {u_arr.shape}, expected "
                     f"{(batch, steps, self.n_u)}")
             return u_arr, True
-        if (u_arr.ndim == 2 and u_arr.shape == (batch, self.n_u)
-                and u_arr.shape != (steps, self.n_u)):
-            return (np.broadcast_to(u_arr[:, None, :],
-                                    (batch, steps, self.n_u)).copy(), True)
+        if u_arr.ndim == 2 and u_arr.shape == (batch, self.n_u):
+            if u_arr.shape == (steps, self.n_u):
+                # Ambiguous: (B, n_u) per-scenario held input vs (steps, n_u)
+                # shared time-varying input when B == steps. Keep the shared
+                # interpretation for backward compatibility, but say so.
+                import warnings
+                warnings.warn(
+                    f"batched simulate: u of shape {u_arr.shape} is ambiguous "
+                    f"(batch == steps == {batch}); interpreting as the shared "
+                    f"time-varying (steps, n_u) layout. Pass the 3-D "
+                    f"(B, steps, n_u) form for per-scenario inputs.",
+                    stacklevel=3)
+            else:
+                return (np.broadcast_to(u_arr[:, None, :],
+                                        (batch, steps, self.n_u)).copy(), True)
         return self._coerce_u(u_arr, steps), False
 
     def _coerce_p_batched(self, p, steps: int, batch: int):
@@ -594,10 +605,18 @@ class Model:
                     f"per-scenario p has shape {p_arr.shape}, expected "
                     f"{(batch, steps, self.n_p)}")
             return p_arr, True
-        if (p_arr.ndim == 2 and p_arr.shape == (batch, self.n_p)
-                and p_arr.shape != (steps, self.n_p)):
-            return (np.broadcast_to(p_arr[:, None, :],
-                                    (batch, steps, self.n_p)).copy(), True)
+        if p_arr.ndim == 2 and p_arr.shape == (batch, self.n_p):
+            if p_arr.shape == (steps, self.n_p):
+                import warnings
+                warnings.warn(
+                    f"batched simulate: p of shape {p_arr.shape} is ambiguous "
+                    f"(batch == steps == {batch}); interpreting as the shared "
+                    f"time-varying (steps, n_p) layout. Pass the 3-D "
+                    f"(B, steps, n_p) form for per-scenario parameters.",
+                    stacklevel=3)
+            else:
+                return (np.broadcast_to(p_arr[:, None, :],
+                                        (batch, steps, self.n_p)).copy(), True)
         return self._coerce_p(p_arr, steps), False
 
     def _coerce_p(self, p, steps: int) -> np.ndarray:

@@ -555,11 +555,6 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
             yN = jnp.where(good, jnp.clip(yN + rho * hN_cur, -y_max, y_max), yN)
             rho = jnp.where(bad_up, jnp.minimum(rho * 10.0, opt.rho_eq_max), rho)
             eqv_new = jnp.where(good, eq_v, carry.eqv)
-            import os as _os
-            if _os.environ.get("HILO_IP_DEBUG"):
-                jax.debug.print(
-                    "it={i} good={g} eq_v={e} rho={r} yN={y} mu={m} err_mu={em}",
-                    i=carry.it, g=good, e=eq_v, r=rho, y=yN, m=mu, em=err_mu)
         else:
             eqv_new = carry.eqv
 

@@ -286,10 +286,14 @@ def make_lq_solver_pallas(reg: float = 1e-9, unroll: int = 1, pack: int = 8):
         # (pack=8 holds 8x the rows per lane column — see riccati_lq_pallas);
         # in interpret mode (CPU tests) there is no hardware lane constraint —
         # a small tile avoids emulating hundreds of padded lanes
+        # small batches: pack>1 would pad to pack*128 lanes (e.g. B=128 at
+        # pack=8 computes 8x padded work) — fall back to pack=1 so the
+        # padding granularity stays at the 128-lane tile floor
+        eff_pack = pack if axis_size >= pack * 128 else 1
         if jax.default_backend() != "tpu":
             tile = min(64, max(8, -(-axis_size // 8) * 8))
         else:
-            cap = 256 if pack >= 8 else 512
+            cap = 256 if eff_pack >= 8 else 512
             tile = min(cap, max(128, -(-axis_size // 128) * 128))
         if args[0].dtype != jnp.float32:
             # the kernel's lane layout is f32-only; f64 solves (CPU parity
@@ -298,7 +302,8 @@ def make_lq_solver_pallas(reg: float = 1e-9, unroll: int = 1, pack: int = 8):
                            )(*args)
             return out, batched
         dX, dU, lam, K, kff, dec = riccati_lq_pallas(*args, reg=reg,
-                                                     tile_b=tile, pack=pack)
+                                                     tile_b=tile,
+                                                     pack=eff_pack)
         out = LQSolution(dX=dX, dU=dU, lam=lam, K=K, kff=kff, cost_red=dec)
         return out, batched
 

@@ -17,6 +17,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _scenario_keys(key, B, has_noise: bool):
+    """Per-scenario PRNG keys. Refuses noise-without-key: with key=None every
+    scenario would share one identical stream, silently defeating Monte-Carlo
+    fleet studies (advisor round-3 finding)."""
+    if key is not None:
+        return jax.random.split(key, B)
+    if has_noise:
+        raise ValueError(
+            "a noise std was supplied but key=None: all scenarios would "
+            "receive the identical noise realization. Pass "
+            "key=jax.random.PRNGKey(seed) to the run function.")
+    return jnp.zeros((B, 2), jnp.uint32)
+
+
 class ClosedLoopResult(NamedTuple):
     X: jnp.ndarray           # (B, steps+1, nx) plant states
     U: jnp.ndarray           # (B, steps, nu) applied inputs
@@ -105,8 +119,7 @@ def fused_closed_loop_fn(nmpc, plant_model, steps: int,
     def run(x0_batch, key=None):
         x0_batch = jnp.asarray(x0_batch, dtype)
         B = x0_batch.shape[0]
-        keys = (jax.random.split(key, B) if key is not None
-                else jnp.zeros((B, 2), jnp.uint32))
+        keys = _scenario_keys(key, B, noise is not None)
         return jax.vmap(one_scenario)(x0_batch, keys)
 
     return run
@@ -266,8 +279,8 @@ def fused_closed_loop_mhe_fn(nmpc, plant_model, mhe, steps: int,
     def run(x0_true_batch, y_window0, u_window0, x_arrival0, key=None):
         x0_true_batch = jnp.asarray(x0_true_batch, dtype)
         B = x0_true_batch.shape[0]
-        keys = (jax.random.split(key, B) if key is not None
-                else jnp.zeros((B, 2), jnp.uint32))
+        keys = _scenario_keys(key, B,
+                              w_std is not None or v_std is not None)
         return jax.vmap(one_scenario)(
             x0_true_batch, jnp.asarray(y_window0, dtype),
             jnp.asarray(u_window0, dtype), jnp.asarray(x_arrival0, dtype),
@@ -385,8 +398,8 @@ def fused_closed_loop_ekf_fn(nmpc, plant_model, ekf, steps: int,
         B = x0_batch.shape[0]
         P0 = jnp.asarray(P0, dtype)
         P0_b = (jnp.broadcast_to(P0, (B, nx, nx)) if P0.ndim == 2 else P0)
-        keys = (jax.random.split(key, B) if key is not None
-                else jnp.zeros((B, 2), jnp.uint32))
+        keys = _scenario_keys(key, B,
+                              w_std is not None or v_std is not None)
         return jax.vmap(one_scenario)(x0_batch, x_est0_batch, P0_b, keys)
 
     return run
