@@ -77,6 +77,11 @@ _LAZY = {
     "TensorBoardSupervisor": ("hilo_mpc_tpu.utils.tb_events", "TensorBoardSupervisor"),
     "set_plot_backend": ("hilo_mpc_tpu.utils.plotting", "set_plot_backend"),
     "get_plot_backend": ("hilo_mpc_tpu.utils.plotting", "get_plot_backend"),
+    # cross-instance solver-trace registry (utils/trace_cache.py)
+    "clear_trace_registry": ("hilo_mpc_tpu.utils.trace_cache",
+                             "clear_trace_registry"),
+    "trace_registry_stats": ("hilo_mpc_tpu.utils.trace_cache",
+                             "trace_registry_stats"),
 }
 
 

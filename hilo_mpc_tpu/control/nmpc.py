@@ -43,6 +43,12 @@ _NLP_OPTION_KEYS = {
     "mi_max_enum",
 }
 
+# Cross-instance trace registry: one traced+compiled solver per
+# CONFIGURATION, not per instance — see utils/trace_cache.py for the design.
+from ..utils.trace_cache import (arr_key as _arr_key, clear_trace_registry,
+                                 registry_lookup, registry_store,
+                                 trace_registry_stats)
+
 
 class NMPC:
     """Nonlinear MPC over a Model."""
@@ -85,6 +91,7 @@ class NMPC:
 
         self._setup_done = False
         self._solver = None
+        self._trace_entry = None   # cross-instance trace-registry entry
         self._opts: dict = {}
         self._time = 0.0
         self._step_count = 0
@@ -277,6 +284,81 @@ class NMPC:
         return self
 
     # -- setup ----------------------------------------------------------------
+    def _trace_signature(self, spec, aug, path, mt, ip_opts, dims):
+        """Exhaustive hashable key of everything baked into the solver traces
+        (see _TRACE_REGISTRY). Returns (sig, keep) — sig is None when this
+        configuration must not be shared (mixed-integer candidate jits bake
+        instance bounds as constants)."""
+        keep = []
+        if self._mi is not None:
+            return None, keep
+        try:
+            msig, mkeep = self._model.trace_signature()
+        except Exception:
+            return None, keep
+        keep += mkeep
+
+        def fid(obj):
+            if obj is None:
+                return None
+            keep.append(obj)
+            return ("id", id(obj))
+
+        def term_sig(t):
+            return (t.kind, tuple(int(i) for i in t.idx), _arr_key(t.W),
+                    _arr_key(t.ref), bool(t.trajectory_tracking),
+                    bool(t.path_following), fid(t.path_fn))
+
+        def con_sig(c):
+            return (fid(c.fn), int(c.n), _arr_key(c.lb), _arr_key(c.ub),
+                    bool(c.is_soft), float(c.weight), float(c.linear_weight),
+                    _arr_key(c.max_violation))
+
+        import dataclasses as _dc
+        x_soft = np.asarray(self._x_soft, dtype=bool)
+        try:
+            sig = (
+                "nmpc", msig, int(dims.N), int(self.control_horizon),
+                float(self._dt),
+                (spec.method, spec.degree, spec.scheme, spec.substeps,
+                 spec.newton_iters),
+                bool(aug), bool(path), bool(mt),
+                None if self._min_time is None else (
+                    float(self._min_time["weight"]),
+                    float(self._min_time["dt_min"]),
+                    float(self._min_time["dt_max"])),
+                None if self._path_speed is None
+                else tuple(map(float, self._path_speed)),
+                _arr_key(self._x_scaling), _arr_key(self._u_scaling),
+                _arr_key(x_soft), float(self._soft_weight),
+                ((_arr_key(self._x_lb), _arr_key(self._x_ub))
+                 if x_soft.any() else None),
+                tuple(term_sig(t) for t in self.quad_stage_cost.terms),
+                tuple(term_sig(t) for t in self.quad_terminal_cost.terms),
+                ("empty" if self.stage_cost.is_empty
+                 else fid(self.stage_cost.cost)),
+                ("empty" if self.terminal_cost.is_empty
+                 else fid(self.terminal_cost.cost)),
+                tuple(con_sig(c) for c in self._stage_constraints),
+                tuple(con_sig(c) for c in self._terminal_constraints),
+                tuple(_dc.astuple(ip_opts)),
+                bool(jax.config.jax_enable_x64),
+            )
+            hash(sig)
+        except Exception:
+            return None, keep
+        return sig, keep
+
+    def _shared_jit(self, name, build):
+        """Per-configuration lazy jit cache: same-config instances share the
+        traced callable built for ``name`` (no registry entry -> private)."""
+        ent = getattr(self, "_trace_entry", None)
+        if ent is None:
+            return build()
+        if name not in ent["sites"]:
+            ent["sites"][name] = build()
+        return ent["sites"][name]
+
     def setup(self, options: Optional[dict] = None, solver_options: Optional[dict]
               = None, nlp_opts: Optional[dict] = None):
         options = dict(options or {})
@@ -681,6 +763,40 @@ class NMPC:
         self._ip_opts = ip_opts
         self._warm_start = options.get("warm_start", True)
 
+        self._solve_batch_jit = None
+        # lazy per-instance jits capture funcs/dims at creation — reset on
+        # (re-)setup so they rebuild against the current configuration
+        self._rti_gn_jit = None
+        self._rti_gain_jit = None
+        self._rti_gain_batch_jit = None
+        self._dyn_step_jit = None
+        self._rti = None
+        self._rti_batch = None
+        sig, _keep = self._trace_signature(spec, aug, path, mt, ip_opts, dims)
+        ent = registry_lookup(sig)
+        if ent is not None:
+            # this configuration was already traced once in this process:
+            # adopt the canonical funcs/dims/options OBJECTS so every jit
+            # cache keyed on their identity — the base solver here and the
+            # RTI/batch sites below — hits instead of retracing
+            funcs, dims, ip_opts = ent["funcs"], ent["dims"], ent["ip_opts"]
+            self._funcs, self._dims, self._ip_opts = funcs, dims, ip_opts
+            self._solve_jit = ent["solve_cold"]
+            self._solve_warm_jit = ent["solve_warm"]
+            self._rollout_guess_jit = ent["rollout"]
+            self._rollout_guess_batch_jit = ent["rollout_batch"]
+            self._trace_entry = ent
+            self.solution = TimeSeries(model.time_unit)
+            self.solution.register("x", model.dynamical_states)
+            self.solution.register("u", model.inputs)
+            self.solution.register("stats", ["iterations", "kkt_error",
+                                             "extime_ms", "converged"])
+            self._setup_done = True
+            self._time = 0.0
+            self._step_count = 0
+            self._warm = None
+            return self
+
         # ONE jitted solver shared by cold- and warm-start paths: the warm
         # variant differs only in the initial barrier, which is passed as a
         # RUNTIME scalar (mu0) — one trace, one compiled executable per
@@ -705,7 +821,6 @@ class NMPC:
 
         self._solve_jit = _solve_cold
         self._solve_warm_jit = _solve_warm
-        self._solve_batch_jit = None
 
         # jitted cold-start rollout (a Python-loop rollout would dispatch N eager
         # ops per scenario — ruinous on remote-compile backends)
@@ -721,6 +836,16 @@ class NMPC:
         self._rollout_guess_jit = jax.jit(_rollout_guess)
         self._rollout_guess_batch_jit = jax.jit(jax.vmap(
             _rollout_guess, in_axes=(0, None, None)))
+
+        if sig is not None:
+            self._trace_entry = registry_store(sig, {
+                "funcs": funcs, "dims": dims, "ip_opts": ip_opts,
+                "solve_cold": _solve_cold, "solve_warm": _solve_warm,
+                "rollout": self._rollout_guess_jit,
+                "rollout_batch": self._rollout_guess_batch_jit,
+                "keep": _keep})
+        else:
+            self._trace_entry = None
 
         if self._mi is not None:
             # candidate solves: same scenario, different pinned u-bounds per
@@ -1175,8 +1300,10 @@ class NMPC:
                                record_iterates=False)
             solver = partial(solve_ocp, self._funcs, self._dims,
                              options=opts, fix_x0=True)
-            self._rti_gn_jit = (k, jax.jit(
-                lambda b, th, x0, Xi, Ui: solver(b, th, x0, Xi, Ui)))
+            self._rti_gn_jit = (k, self._shared_jit(
+                f"rti_gn:{k}",
+                lambda: jax.jit(
+                    lambda b, th, x0, Xi, Ui: solver(b, th, x0, Xi, Ui))))
         return self._rti_gn_jit[1]
 
     def rti_prepare(self, x_pred=None, cp=None, tvp=None, ref=None,
@@ -1208,7 +1335,8 @@ class NMPC:
                 # device call the feedback phase deliberately skips so its
                 # latency stays in numpy territory
                 if self._dyn_step_jit is None:
-                    self._dyn_step_jit = jax.jit(self._funcs.dyn)
+                    self._dyn_step_jit = self._shared_jit(
+                        "dyn_step", lambda: jax.jit(self._funcs.dyn))
                 dtype_ = self._solver_dtype
                 xs_pred = np.asarray(self._dyn_step_jit(
                     jnp.asarray(pend["xs0"], dtype_),
@@ -1248,7 +1376,8 @@ class NMPC:
                                       for k, v in history.items()}
         X, U = np.asarray(sol.X), np.asarray(sol.U)
         if self._rti_gain_jit is None:
-            self._rti_gain_jit = jax.jit(self._build_rti_gain())
+            self._rti_gain_jit = self._shared_jit(
+                "rti_gain", lambda: jax.jit(self._build_rti_gain()))
         K0 = np.asarray(self._rti_gain_jit(sol.X, sol.U,
                                            jnp.asarray(theta, dtype)))
         self._warm = (X, U)
@@ -1521,15 +1650,20 @@ class NMPC:
                           "kernel-eligible (needs box-only constraints, pure "
                           "Newton steps, fix_x0); using the general XLA path")
 
-        solver = partial(solve_ocp, self._funcs, self._dims,
-                         options=opts, fix_x0=True)
+        funcs, dims = self._funcs, self._dims
 
-        def solve_many(theta_B, xs0_B, X_B, U_B, mu0):
-            return jax.vmap(lambda th, x0s, Xi, Ui: solver(
-                bounds, th, x0s, Xi, Ui, mu0=mu0))(theta_B, xs0_B, X_B, U_B)
+        # bounds and mu0 are runtime args (not closure constants), so one
+        # traced executable serves every same-config instance and both the
+        # warm and cold barrier schedules (_shared_jit / _TRACE_REGISTRY)
+        def _build():
+            def solve_many(b, theta_B, xs0_B, X_B, U_B, mu0):
+                return jax.vmap(lambda th, x0s, Xi, Ui: solve_ocp(
+                    funcs, dims, b, th, x0s, Xi, Ui, options=opts,
+                    fix_x0=True, mu0=mu0))(theta_B, xs0_B, X_B, U_B)
+            return jax.jit(solve_many)
 
-        jfn = jax.jit(solve_many)
-        return lambda th, x0s, Xi, Ui: jfn(th, x0s, Xi, Ui, mu_val)
+        jfn = self._shared_jit("solve_batch", _build)
+        return lambda th, x0s, Xi, Ui: jfn(bounds, th, x0s, Xi, Ui, mu_val)
 
     def prepare_batch(self, x0_batch, cp=None, tvp=None, ref=None):
         """Vectorized solver inputs for B scenarios:
@@ -1578,8 +1712,9 @@ class NMPC:
         if self._solve_batch_jit is None:
             self._solve_batch_jit = self.solve_batch_fn()
         if getattr(self, "_rti_gain_batch_jit", None) is None:
-            self._rti_gain_batch_jit = jax.jit(
-                jax.vmap(self._build_rti_gain()))
+            self._rti_gain_batch_jit = self._shared_jit(
+                "rti_gain_batch",
+                lambda: jax.jit(jax.vmap(self._build_rti_gain())))
         args = self.prepare_batch(x_pred_batch, cp, tvp, ref)
         prev = getattr(self, "_rti_batch_warm", None)
         use_warm = (warm and prev is not None

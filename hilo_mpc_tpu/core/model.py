@@ -282,25 +282,36 @@ class Model:
         if D_ is not None and self._y.n == 0:
             self._y.add(D_.shape[0], prefix="y")
 
-        nx, nu = self._x.n, self._u.n
+        nx, nu, ny = self._x.n, self._u.n, self._y.n
+        # snapshot at build time: every setter rebuilds these closures, so a
+        # live read of self._ss would be equivalent — but a snapshot keeps the
+        # closures content-stable, which lets them carry a content-provenance
+        # marker for cross-instance solver-trace sharing (trace_signature)
+        A_s, B_s, C_s, D_s = (None if m is None else m.copy()
+                              for m in (A_, B_, C_, D_))
 
         def ode(x, z, u, p, t):
             out = jnp.zeros(nx, dtype=x.dtype)
-            if self._ss["A"] is not None:
-                out = out + jnp.asarray(self._ss["A"], x.dtype) @ x
-            if self._ss["B"] is not None and nu:
-                out = out + jnp.asarray(self._ss["B"], x.dtype) @ u
+            if A_s is not None:
+                out = out + jnp.asarray(A_s, x.dtype) @ x
+            if B_s is not None and nu:
+                out = out + jnp.asarray(B_s, x.dtype) @ u
             return out
 
+        def _mat_key(m):
+            return None if m is None else (m.shape, m.tobytes())
+
+        ode._hilo_dsl_src = ("ss_ode", _mat_key(A_s), _mat_key(B_s))
         self._ode = ode
-        if C_ is not None or self._ss["D"] is not None:
+        if C_s is not None or D_s is not None:
             def meas(x, z, u, p, t):
-                out = jnp.zeros(self._y.n, dtype=x.dtype)
-                if self._ss["C"] is not None:
-                    out = out + jnp.asarray(self._ss["C"], x.dtype) @ x
-                if self._ss["D"] is not None and nu:
-                    out = out + jnp.asarray(self._ss["D"], x.dtype) @ u
+                out = jnp.zeros(ny, dtype=x.dtype)
+                if C_s is not None:
+                    out = out + jnp.asarray(C_s, x.dtype) @ x
+                if D_s is not None and nu:
+                    out = out + jnp.asarray(D_s, x.dtype) @ u
                 return out
+            meas._hilo_dsl_src = ("ss_meas", _mat_key(C_s), _mat_key(D_s))
             self._meas = meas
         return self
 
@@ -353,6 +364,41 @@ class Model:
 
     def quad_fn(self) -> Optional[Callable]:
         return self._quad
+
+    def trace_signature(self):
+        """Hashable signature of everything that enters a solver trace.
+
+        Two models with equal signatures produce behaviorally identical
+        ode/alg/meas/quad closures, so controllers/estimators built on them
+        can share one traced+compiled solver (the cross-instance trace
+        registry in control/nmpc.py — reference semantics: HILO-MPC builds
+        its CasADi solver once per problem, mpc.py:1778-1787; ours is once
+        per *configuration*). DSL-built models hash by equation text +
+        variable-name layout; callable-built models fall back to the id of
+        the exact function objects (conservative: same objects share, fresh
+        lambdas do not). Returns ``(sig, keep)`` where ``keep`` lists the
+        objects whose ids appear in ``sig`` (the registry must hold them so
+        ids cannot be recycled).
+        """
+        keep = []
+
+        def fn_sig(fn):
+            if fn is None:
+                return None
+            src = getattr(fn, "_hilo_dsl_src", None)
+            if src is not None:
+                return ("dsl", src)
+            keep.append(fn)
+            return ("id", id(fn))
+
+        eq = ("fns", fn_sig(self._ode), fn_sig(self._alg),
+              fn_sig(self._meas), fn_sig(self._quad))
+        sig = (type(self).__name__, self.discrete, eq,
+               tuple(self._x.names), tuple(self._z.names),
+               tuple(self._u.names), tuple(self._p.names),
+               tuple(self.measurements), self.n_q,
+               None if self._z0 is None else tuple(np.asarray(self._z0)))
+        return sig, keep
 
     # -- structural analysis --------------------------------------------------
     def _probe_args(self, seed: int = 0, spread: float = 0.37):

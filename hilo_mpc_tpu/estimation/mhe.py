@@ -24,6 +24,7 @@ import numpy as np
 from ..core.integrators import IntegratorSpec, make_step
 from ..ops.ip_solver import (IPOptions, OCPBounds, OCPDims, OCPFunctions,
                              solve_ocp)
+from ..utils.trace_cache import arr_key, registry_lookup, registry_store
 from .base import Estimator, _as_cov
 
 
@@ -244,8 +245,39 @@ class MovingHorizonEstimator(Estimator):
                             tol=options.get("tol", default_tol),
                             mu_init=options.get("mu_init", 1e-2))
         self._ip_opts = ip_opts
-        self._solve_jit = jax.jit(partial(
-            solve_ocp, funcs, dims, options=ip_opts, fix_x0=False))
+        # cross-instance trace sharing (utils/trace_cache.py): same-config MHE
+        # instances adopt the canonical funcs/dims/jits instead of retracing.
+        # Everything baked into the closures above is in the key; bounds are
+        # runtime args everywhere (the batch jit takes them as an argument).
+        import dataclasses as _dc
+        try:
+            msig, _keep = m.trace_signature()
+            sig = ("mhe", msig, N, float(self._dt),
+                   (spec.method, spec.degree, spec.scheme, spec.substeps,
+                    spec.newton_iters),
+                   tuple(pe_idx), arr_key(W_meas), arr_key(W_noise),
+                   arr_key(W_arr_x), arr_key(W_arr_p),
+                   tuple(_dc.astuple(ip_opts)),
+                   bool(jax.config.jax_enable_x64))
+            hash(sig)
+        except Exception:
+            sig, _keep = None, []
+        ent = registry_lookup(sig)
+        if ent is not None:
+            funcs, dims, ip_opts = ent["funcs"], ent["dims"], ent["ip_opts"]
+            self._funcs, self._dims, self._ip_opts = funcs, dims, ip_opts
+            self._solve_jit = ent["solve"]
+            self._trace_entry = ent
+        else:
+            self._solve_jit = jax.jit(partial(
+                solve_ocp, funcs, dims, options=ip_opts, fix_x0=False))
+            if sig is not None:
+                self._trace_entry = registry_store(sig, {
+                    "funcs": funcs, "dims": dims, "ip_opts": ip_opts,
+                    "solve": self._solve_jit, "keep": _keep})
+            else:
+                self._trace_entry = None
+        self._solve_batch_jit = None
         self._solver_dtype = dtype
         self._register_solution()
         self.solution.register("w", [f"w_{n}" for n in m.dynamical_states])
@@ -258,6 +290,28 @@ class MovingHorizonEstimator(Estimator):
         self._time = 0.0
         self._setup_done = True
         return self
+
+    def _get_solve_batch_jit(self):
+        """Vmapped window solver with bounds as a runtime argument — shared
+        across same-config instances via the trace registry."""
+        if getattr(self, "_solve_batch_jit", None) is None:
+            funcs, dims, opts = self._funcs, self._dims, self._ip_opts
+
+            def build():
+                solver = partial(solve_ocp, funcs, dims, options=opts,
+                                 fix_x0=False)
+                return jax.jit(jax.vmap(
+                    lambda b, th, x0s, Xi, Ui: solver(b, th, x0s, Xi, Ui),
+                    in_axes=(None, 0, 0, 0, 0)))
+
+            ent = getattr(self, "_trace_entry", None)
+            if ent is None:
+                self._solve_batch_jit = build()
+            else:
+                if "solve_batch" not in ent["sites"]:
+                    ent["sites"]["solve_batch"] = build()
+                self._solve_batch_jit = ent["sites"]["solve_batch"]
+        return self._solve_batch_jit
 
     # -- measurement buffering -------------------------------------------------
     def add_measurements(self, y, u=None):
@@ -337,12 +391,7 @@ class MovingHorizonEstimator(Estimator):
             [x_arrivals, np.tile(self._p_arrival[:n_pe], (B, 1))], axis=1)
         X_init = np.tile(xs0[:, None, :], (1, N + 1, 1))
         U_init = np.zeros((B, N, nx))
-        if getattr(self, "_solve_batch_jit", None) is None:
-            solver = partial(solve_ocp, self._funcs, self._dims,
-                             options=self._ip_opts, fix_x0=False)
-            bounds = self._bounds
-            self._solve_batch_jit = jax.jit(jax.vmap(
-                lambda th, x0s, Xi, Ui: solver(bounds, th, x0s, Xi, Ui)))
+        solve_batch = self._get_solve_batch_jit()
         args = (jnp.asarray(theta, dtype), jnp.asarray(xs0, dtype),
                 jnp.asarray(X_init, dtype), jnp.asarray(U_init, dtype))
         if mesh is not None:
@@ -350,7 +399,7 @@ class MovingHorizonEstimator(Estimator):
 
             sh = NamedSharding(mesh, P(mesh.axis_names[0]))
             args = tuple(jax.device_put(a, sh) for a in args)
-        sol = self._solve_batch_jit(*args)
+        sol = solve_batch(self._bounds, *args)
         x_est = np.asarray(sol.X)[:, -1, :nx]
         return x_est, sol
 
@@ -430,13 +479,8 @@ class MovingHorizonEstimator(Estimator):
                            * (1.0 - 2.0 * rng.random((runs - 1,) + X_init.shape)))
             U_pert[1:] += (pert_factor
                            * (1.0 - 2.0 * rng.random((runs - 1,) + U_init.shape)))
-            if getattr(self, "_solve_batch_jit", None) is None:
-                solver = partial(solve_ocp, self._funcs, self._dims,
-                                 options=self._ip_opts, fix_x0=False)
-                bounds = self._bounds
-                self._solve_batch_jit = jax.jit(jax.vmap(
-                    lambda th, x0s, Xi, Ui: solver(bounds, th, x0s, Xi, Ui)))
-            sols = self._solve_batch_jit(
+            sols = self._get_solve_batch_jit()(
+                self._bounds,
                 jnp.tile(jnp.asarray(theta, dtype)[None], (runs, 1, 1)),
                 jnp.tile(jnp.asarray(xs0, dtype)[None], (runs, 1)),
                 jnp.asarray(X_pert, dtype), jnp.asarray(U_pert, dtype))

@@ -382,6 +382,12 @@ def apply_parsed_equations(model, text: str) -> None:
                 spec.set_meta(var, **md)
     if parsed.discrete:
         model._discrete = True
+    # provenance markers: DSL-generated closures are content-addressable, so
+    # controllers on models built from equal text can share one solver trace
+    # (Model.trace_signature / the registry in control/nmpc.py)
+    for fn in (parsed.ode, parsed.alg, parsed.meas, parsed.quad):
+        if fn is not None:
+            fn._hilo_dsl_src = text
     if parsed.ode is not None:
         model._ode = parsed.ode
     if parsed.alg is not None:
