@@ -38,7 +38,7 @@ _NLP_OPTION_KEYS = {
     "dt", "convexify", "n_linesearch", "early_exit", "u_pf_lb", "u_pf_ub",
     "ipopt_debugger", "parallel_riccati", "pallas_riccati", "mehrotra",
     "riccati_unroll", "pallas_full", "pallas_tile",
-    "const_cost_hessian",
+    "const_cost_hessian", "lin_storage_dtype",
     "mi_neighbors",
     "mi_max_enum",
 }
@@ -759,6 +759,7 @@ class NMPC:
             riccati_unroll=options.get("riccati_unroll", 1),
             const_cost_hessian=options.get("const_cost_hessian",
                                            quad_cost_only),
+            lin_storage_dtype=options.get("lin_storage_dtype", None),
         )
         self._ip_opts = ip_opts
         self._warm_start = options.get("warm_start", True)
@@ -1665,15 +1666,31 @@ class NMPC:
         jfn = self._shared_jit("solve_batch", _build)
         return lambda th, x0s, Xi, Ui: jfn(bounds, th, x0s, Xi, Ui, mu_val)
 
-    def prepare_batch(self, x0_batch, cp=None, tvp=None, ref=None):
+    def prepare_batch(self, x0_batch, cp=None, tvp=None, ref=None,
+                      u_prev=None):
         """Vectorized solver inputs for B scenarios:
-        (theta_B, xs0_B, X_init_B, U_init_B), cold-started via one jitted rollout."""
+        (theta_B, xs0_B, X_init_B, U_init_B), cold-started via one jitted rollout.
+
+        ``u_prev`` (B, n_u): per-scenario previous inputs for the Δu-augmented
+        formulation (each scenario's u_prev rides in its augmented solver
+        state); defaults to this controller's scalar ``_u_old`` for every
+        scenario."""
         x0_batch = np.atleast_2d(np.asarray(x0_batch, dtype=float))
         B = x0_batch.shape[0]
         theta = self._assemble_theta(cp, tvp, ref)
         dtype = self._solver_dtype
         N, nus = self._dims.N, self._dims.nu
+        if u_prev is not None and not self._augment_du:
+            raise ValueError("u_prev is only meaningful for the Δu-augmented "
+                             "formulation (Δu costs/bounds or Nc < N)")
         xs0 = np.asarray([self._solver_x0(x0_batch[i]) for i in range(B)])
+        if u_prev is not None:
+            u_prev = np.atleast_2d(np.asarray(u_prev, dtype=float))
+            nx, nu = self._model.n_x, self._model.n_u
+            if u_prev.shape != (B, nu):
+                raise ValueError(f"u_prev has shape {u_prev.shape}, expected "
+                                 f"{(B, nu)}")
+            xs0[:, nx:nx + nu] = u_prev / self._u_scaling
         if self._augment_du:
             U = np.zeros((N, nus))
         else:
@@ -1690,7 +1707,7 @@ class NMPC:
                 jnp.asarray(X_B, dtype), jnp.asarray(U_B, dtype))
 
     def rti_prepare_batch(self, x_pred_batch, cp=None, tvp=None, ref=None,
-                          warm: bool = False):
+                          warm: bool = False, u_prev=None):
         """Batched RTI preparation: solve B horizon problems at the predicted
         states AND extract every first-stage Riccati gain, all in one device
         dispatch. ``rti_feedback_batch(x0_batch)`` then answers B measured
@@ -1699,23 +1716,35 @@ class NMPC:
 
         ``warm=True`` (fleet closed-loop regime) shift-initializes every
         scenario from the previous batch solution and uses the warm-start
-        barrier schedule — same semantics as the scalar warm path."""
+        barrier schedule — same semantics as the scalar warm path.
+
+        Δu-augmented formulations are supported: each scenario's previous
+        input rides in its augmented solver state. ``u_prev`` (B, n_u)
+        overrides it explicitly; by default the fleet's applied inputs are
+        carried step-to-step by ``rti_feedback_batch`` (zeros before the
+        first feedback, like the scalar path's ``_u_old``)."""
         if not self._setup_done:
             raise RuntimeError("call setup() first")
-        if (self._augment_du or self._path_following
+        if (self._path_following
                 or self._min_time is not None or self._mi is not None):
             raise NotImplementedError(
-                "batched RTI supports the standard NMPC formulation (no Δu "
-                "augmentation — a fleet would need per-scenario u_prev state "
-                "— no path following, minimum time or discrete inputs); "
-                "the scalar rti_prepare/rti_feedback path supports Δu")
+                "batched RTI supports the standard and Δu-augmented NMPC "
+                "formulations (no path following, minimum time or discrete "
+                "inputs)")
         if self._solve_batch_jit is None:
             self._solve_batch_jit = self.solve_batch_fn()
         if getattr(self, "_rti_gain_batch_jit", None) is None:
             self._rti_gain_batch_jit = self._shared_jit(
                 "rti_gain_batch",
                 lambda: jax.jit(jax.vmap(self._build_rti_gain())))
-        args = self.prepare_batch(x_pred_batch, cp, tvp, ref)
+        if self._augment_du and u_prev is None:
+            u_old = getattr(self, "_rti_batch_u_old", None)
+            B = np.atleast_2d(np.asarray(x_pred_batch)).shape[0]
+            if u_old is not None and u_old.shape[0] == B:
+                u_prev = u_old
+            else:
+                u_prev = np.zeros((B, self._model.n_u))
+        args = self.prepare_batch(x_pred_batch, cp, tvp, ref, u_prev=u_prev)
         prev = getattr(self, "_rti_batch_warm", None)
         use_warm = (warm and prev is not None
                     and prev[0].shape == args[2].shape)
@@ -1755,21 +1784,45 @@ class NMPC:
         if B != d["xs_pred"].shape[0]:
             raise ValueError(f"x0_batch has {B} scenarios, prepared "
                              f"{d['xs_pred'].shape[0]}")
+        lbu = np.asarray(self._bounds.lbu)[0]
+        ubu = np.asarray(self._bounds.ubu)[0]
+        nx, nu = self._model.n_x, self._model.n_u
+        if self._augment_du:
+            # mirror the scalar Δu feedback: the solver's controls are Δu and
+            # each scenario's u_prev rides in the augmented state. δxs uses
+            # the same per-scenario u_prev the prepare solved with (zero
+            # deviation on the augmented rows), Δu is clipped to its own
+            # bounds, then u = u_prev + Δu is clipped to the input box (kept
+            # as state bounds on the augmented rows).
+            u_old_s = d["xs_pred"][:, nx:nx + nu]
+            xs0 = np.concatenate([x0_batch / self._x_scaling, u_old_s],
+                                 axis=1)
+            dU0 = d["U"][:, 0, :] + np.einsum("bij,bj->bi", d["K0"],
+                                              xs0 - d["xs_pred"])
+            dU0 = np.clip(dU0, lbu, ubu)
+            u_s = u_old_s + dU0[:, :nu]
+            u_s = np.clip(u_s, np.asarray(self._bounds.lbx)[1, nx:nx + nu],
+                          np.asarray(self._bounds.ubx)[1, nx:nx + nu])
+            u0 = u_s * self._u_scaling
+            # carried to the next rti_prepare_batch as the fleet's u_prev
+            self._rti_batch_u_old = u0.copy()
+            self._rti_batch = None
+            return u0
         xs0 = x0_batch / self._x_scaling
         U0 = d["U"][:, 0, :] + np.einsum("bij,bj->bi", d["K0"],
                                          xs0 - d["xs_pred"])
-        lbu = np.asarray(self._bounds.lbu)[0]
-        ubu = np.asarray(self._bounds.ubu)[0]
         U0 = np.clip(U0, lbu, ubu)
-        nu = self._model.n_u
         self._rti_batch = None
         return U0[:, :nu] * self._u_scaling
 
-    def optimize_batch(self, x0_batch, cp=None, tvp=None, ref=None):
-        """Solve B independent MPC problems at once; returns (B, n_u) first moves."""
+    def optimize_batch(self, x0_batch, cp=None, tvp=None, ref=None,
+                       u_prev=None):
+        """Solve B independent MPC problems at once; returns (B, n_u) first
+        moves. ``u_prev`` (B, n_u): per-scenario previous inputs for the
+        Δu-augmented formulation."""
         if self._solve_batch_jit is None:
             self._solve_batch_jit = self.solve_batch_fn()
-        args = self.prepare_batch(x0_batch, cp, tvp, ref)
+        args = self.prepare_batch(x0_batch, cp, tvp, ref, u_prev=u_prev)
         sol = self._solve_batch_jit(*args)
         nx, nu = self._model.n_x, self._model.n_u
         X = np.asarray(sol.X)

@@ -124,6 +124,15 @@ class IPOptions:
     # Ignored when equality constraints are present (the AL terms change the
     # Hessian with rho). NMPC auto-enables this for pure quadratic costs.
     const_cost_hessian: bool = False
+    # store the per-stage linearization tensors (A, B, Hessian blocks,
+    # constraint jacobians) in bfloat16 between production and consumption —
+    # the HBM-roofline lever (b) from docs/PERFORMANCE.md: the solve is
+    # bandwidth-bound and these tensors dominate the per-iteration bytes.
+    # Gradients, values and the Newton algebra stay f32 (bf16 tensors promote
+    # at use). KKT stationarity is then only trustworthy to ~1e-3 relative,
+    # so use with tol >= 1e-3 and verify convergence on your problem.
+    # None = off (default); "bfloat16" = on.
+    lin_storage_dtype: Optional[str] = None
 
 
 class OCPSolution(NamedTuple):
@@ -450,6 +459,16 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
         cN = term_c(X)
         Cx, Cu = jax.vmap(stage_c_jac)(X[:-1], U, theta[:-1], mask)
         CxN = term_c_jac(X[-1])
+        if opt.lin_storage_dtype is not None and dtype == jnp.float32:
+            # bandwidth lever: the jacobian/hessian blocks are the bulk of
+            # the per-iteration HBM traffic; store them in bf16 and let the
+            # consumers promote back to f32 (values/gradients stay f32 so
+            # feasibility and the step direction RHS keep full precision)
+            sd = jnp.dtype(opt.lin_storage_dtype)
+            A, B = A.astype(sd), B.astype(sd)
+            Hxx, Hux, Huu = (Hxx.astype(sd), Hux.astype(sd), Huu.astype(sd))
+            HN = HN.astype(sd)
+            Cx, Cu, CxN = Cx.astype(sd), Cu.astype(sd), CxN.astype(sd)
         return (F, A, B, gx, gu, Hxx, Hux, Huu, gN, HN, c, cN, Cx, Cu, CxN)
 
     def kkt_errors(lin, X, lam, s, z, sN, zN, mu):
@@ -570,6 +589,14 @@ def _solve_ocp_impl(funcs, dims, bounds, theta, x0, X_init, U_init, options,
                            jnp.eye(nu, dtype=dtype)))
         Sb = Hux + jnp.einsum("kmi,km,kmj->kij", Cu, sigma, Cx)
         P_term = HN + jnp.einsum("mi,m,mj->ij", CxN, sigmaN, CxN)
+        # promote (possibly bf16-stored) dynamics jacobians back to the solve
+        # dtype for the Riccati algebra — identity when lin_storage is off
+        A = A.astype(dtype)
+        B = B.astype(dtype)
+        Qb = Qb.astype(dtype)
+        Rb = Rb.astype(dtype)
+        Sb = Sb.astype(dtype)
+        P_term = P_term.astype(dtype)
         r_dyn = F - X[1:]
         if opt.parallel_riccati:
             lq_solver = solve_lq_parallel

@@ -267,6 +267,52 @@ class TestBatchedRTI:
             nmpc.rti_prepare_batch(X, warm=True)
         assert np.max(np.linalg.norm(X - X_EQ, axis=1)) < 1e-2
 
+    def test_du_batched_feedback_matches_scalar(self):
+        # Δu-augmented fleet RTI: per-scenario u_prev rides in the augmented
+        # state; the batched moves equal the scalar Δu RTI per scenario
+        B = 4
+        rng = np.random.default_rng(3)
+        x_pred = np.array([0.25, 0.12]) + 0.02 * rng.standard_normal((B, 2))
+        dx = 1e-3 * rng.standard_normal((B, 2))
+        u_prev = 0.05 * rng.standard_normal((B, 1))
+
+        batched = _du_nmpc()
+        batched.rti_prepare_batch(x_pred, u_prev=u_prev)
+        U0 = batched.rti_feedback_batch(x_pred + dx)
+        assert U0.shape == (B, 1)
+
+        for i in range(B):
+            scalar = _du_nmpc()
+            scalar._u_old = u_prev[i].copy()
+            scalar.rti_prepare(x_pred=x_pred[i])
+            u_i = scalar.rti_feedback(x_pred[i] + dx[i])
+            np.testing.assert_allclose(U0[i], u_i, atol=1e-6)
+
+    def test_du_fleet_loop_with_active_du_bounds(self):
+        # fleet closed loop under Δu costs AND active Δu bounds: the applied
+        # input increments never exceed the bound and every start converges
+        B = 6
+        du_max = 0.04
+        rng = np.random.default_rng(4)
+        nmpc = _du_nmpc()
+        nmpc.set_box_constraints(u_lb=[-5.0], u_ub=[5.0],
+                                 du_lb=[-du_max], du_ub=[du_max])
+        nmpc.setup(options={"dt": 0.1})
+        X = np.array([0.2, 0.1]) + 0.03 * rng.standard_normal((B, 2))
+        plant = _plant()
+        nmpc.rti_prepare_batch(X)
+        U_hist = []
+        for k in range(40):
+            U = nmpc.rti_feedback_batch(X)
+            U_hist.append(U.copy())
+            out = plant.simulate(x0=X, u=U[:, None, :], p=P_CSTR, steps=1)
+            X = np.asarray(out["x"])[:, -1, :]
+            nmpc.rti_prepare_batch(X, warm=True)
+        U_hist = np.asarray(U_hist)              # (T, B, 1)
+        dU = np.diff(U_hist, axis=0)
+        assert np.max(np.abs(dU)) <= du_max + 1e-9
+        assert np.max(np.linalg.norm(X - X_EQ, axis=1)) < 2e-2
+
     def test_batched_feedback_clips_bounds(self):
         batched = _nmpc()
         x_pred = np.tile([0.25, 0.12], (3, 1))
@@ -309,10 +355,16 @@ class TestRTIValidation:
         with pytest.raises(ValueError, match="entries"):
             rti.rti_feedback([0.2])
 
-    def test_du_formulation_batched_rejected(self):
-        # the scalar RTI path supports Δu; the batched fleet path does not
-        # (it would need per-scenario u_prev state)
-        nmpc = _du_nmpc()
+    def test_path_following_batched_rejected(self):
+        nmpc = NMPC(cstr_schaffner_and_zeitz())
+        nmpc.horizon = 5
+        nmpc.create_path_variable()
+        nmpc.quad_stage_cost.add_states(
+            weights=[10.0, 10.0], path_following=True,
+            path_fn=lambda th: np.asarray(X_EQ))
+        nmpc.quad_stage_cost.add_inputs(weights=0.1)
+        nmpc.set_parameters(P_CSTR)
+        nmpc.setup(options={"dt": 0.1})
         with pytest.raises(NotImplementedError, match="batched RTI"):
             nmpc.rti_prepare_batch(np.tile([0.2, 0.1], (3, 1)))
 

@@ -131,15 +131,18 @@ def gen_mhe_cstr():
 # re-expressing every advanced option through the reference API. Either way
 # the provenance is real IPOPT at tol 1e-11.
 #
-# Not generated here (documented skips):
-#   dae_colloc  — the framework's NLP embeds its fixed-iteration Newton
-#                 collocation operator inside the dynamics; a casadi
-#                 rootfinder/IDAS discretization is a DIFFERENT NLP, so the
-#                 comparison would measure integrator mismatch, not solver
-#                 correctness. The SciPy oracle solves the identical operator.
-#   smpc_chance — the surrogate dynamics embed GP posterior mean/variance and
-#                 covariance propagation; reproducing them symbolically in
-#                 casadi is a subproject. SciPy-oracle tier stands.
+# dae_colloc lifts the framework's collocation operator into the NLP: the
+# framework solves the Radau residuals to machine precision (8 Newton
+# iterations on a mildly nonlinear index-1 DAE), so imposing the SAME
+# residuals (same C/D matrices, imported from hilo_mpc_tpu.core.integrators)
+# as lifted equality constraints yields the identical discrete map at the
+# optimum. smpc_chance reconstructs the deterministic surrogate symbolically:
+# the GP posterior state (L, alpha, hyperparameters) is extracted numerically
+# from the same seeded construction as tests/golden_configs.py — a numpy
+# cross-check against gp.predict validates the extraction before any casadi
+# work — and the mean map / linearized covariance propagation / erfinv
+# back-off are rebuilt in casadi symbols (smpc.py:149-234 is the semantics
+# being mirrored).
 # ---------------------------------------------------------------------------
 
 
@@ -423,10 +426,271 @@ def gen_hybrid_ann():
     _save_nmpc("hybrid_ann", X_meas, U_gold)
 
 
+def gen_du_tracking():
+    """Mirror golden_configs.build_du_tracking: CSTR tracking with Δu cost
+    and Δu bounds. The framework's augmented-state Δu formulation
+    (nmpc.py Δu handling) is algebraically the direct form written here:
+    cost 0.5(u_k - u_{k-1})² with u_{-1} the previously applied input,
+    |Δu| <= 0.5, carried across closed-loop steps."""
+    import casadi as ca
+
+    step = _cstr_rk4_ca()
+    N, du_b = 15, 0.5
+
+    x = np.array([0.2, 0.1])
+    u_prev = 0.0
+    X_meas, U_gold, U_ws = [x.copy()], [], None
+    for _ in range(25):
+        X = ca.SX.sym("X", 2, N + 1)
+        U = ca.SX.sym("U", 1, N)
+        g, lbg, ubg = [], [], []
+        J = 0
+        g.append(X[:, 0] - ca.DM(x)); lbg += [0.0] * 2; ubg += [0.0] * 2
+        for k in range(N):
+            e = X[:, k] - ca.DM(CSTR_REF)
+            uk = U[0, k]
+            ukm1 = u_prev if k == 0 else U[0, k - 1]
+            J = J + 10.0 * e[0] ** 2 + 10.0 * e[1] ** 2 + 0.1 * uk ** 2 \
+                + 0.5 * (uk - ukm1) ** 2
+            g.append(uk - ukm1); lbg.append(-du_b); ubg.append(du_b)
+            g.append(X[:, k + 1] - step(X[:, k], U[:, k], k))
+            lbg += [0.0] * 2; ubg += [0.0] * 2
+        w = ca.vertcat(ca.vec(X), ca.vec(U))
+        lbw = np.concatenate([np.full(2 * (N + 1), -np.inf),
+                              np.full(N, -5.0)])
+        ubw = np.concatenate([np.full(2 * (N + 1), np.inf),
+                              np.full(N, 5.0)])
+        solver = ca.nlpsol("s", "ipopt", {"x": w, "f": J,
+                                          "g": ca.vertcat(*g)}, IPOPT_OPTS)
+        U0 = np.zeros((1, N)) if U_ws is None else np.asarray(U_ws).T
+        w0 = np.concatenate([np.tile(x, N + 1), U0.ravel(order="F")])
+        sol = solver(x0=w0, lbx=lbw, ubx=ubw, lbg=lbg, ubg=ubg)
+        assert solver.stats()["success"]
+        wv = np.asarray(sol["x"]).ravel()
+        Us = wv[2 * (N + 1):].reshape(1, N, order="F").T
+        U_ws = np.vstack([Us[1:], Us[-1:]])
+        U_gold.append(Us[0].copy())
+        u_prev = float(Us[0, 0])
+        x = _rk4(_cstr_ode_np, x, Us[0], 0.1)
+        X_meas.append(x.copy())
+    _save_nmpc("du_tracking", X_meas, U_gold)
+
+
+def gen_dae_colloc():
+    """Mirror golden_configs.build_dae_colloc: index-1 DAE NMPC, Radau IIA
+    degree-3 collocation. The collocation matrices come from the SAME
+    function the framework discretizes with
+    (hilo_mpc_tpu.core.integrators.collocation_coefficients), and the stage
+    states/algebraic variables are lifted into the NLP with the residuals as
+    equalities — at the optimum this is the framework's discrete operator
+    exactly (its 8 fixed Newton iterations converge to machine precision on
+    this mildly nonlinear DAE)."""
+    import casadi as ca
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from golden_configs import DAE_ALPHA, dae_ode_np
+    from hilo_mpc_tpu.core.integrators import collocation_coefficients
+
+    C, D, B, taus = collocation_coefficients(3, "radau")
+    N, dt, d = 12, 0.1, 3
+
+    def ode(xx, zz, uu):
+        return -xx + zz + uu
+
+    def alg(xx, zz):
+        return zz - 0.5 * xx - DAE_ALPHA * zz ** 2
+
+    x = np.array([0.1])
+    X_meas, U_gold, U_ws = [x.copy()], [], None
+    for _ in range(25):
+        X = ca.SX.sym("X", 1, N + 1)
+        U = ca.SX.sym("U", 1, N)
+        Xc = ca.SX.sym("Xc", d, N)       # collocation states per interval
+        Zc = ca.SX.sym("Zc", d, N)       # algebraic values at the nodes
+        g, lbg, ubg = [], [], []
+        J = 0
+        g.append(X[0, 0] - float(x[0])); lbg.append(0.0); ubg.append(0.0)
+        for k in range(N):
+            J = J + 10.0 * (X[0, k] - 0.5) ** 2 + 0.1 * U[0, k] ** 2
+            # collocation residuals: sum_r C[j-1,r] X_r = dt * f(X_j, Z_j, u)
+            xall = [X[0, k]] + [Xc[j, k] for j in range(d)]
+            for j in range(1, d + 1):
+                xdot_poly = sum(float(C[j - 1, r]) * xall[r]
+                                for r in range(d + 1))
+                g.append(xdot_poly - dt * ode(Xc[j - 1, k], Zc[j - 1, k],
+                                              U[0, k]))
+                lbg.append(0.0); ubg.append(0.0)
+                g.append(alg(Xc[j - 1, k], Zc[j - 1, k]))
+                lbg.append(0.0); ubg.append(0.0)
+            # continuity: x_{k+1} = sum_r D[r] X_r
+            g.append(X[0, k + 1]
+                     - sum(float(D[r]) * xall[r] for r in range(d + 1)))
+            lbg.append(0.0); ubg.append(0.0)
+        w = ca.vertcat(ca.vec(X), ca.vec(U), ca.vec(Xc), ca.vec(Zc))
+        nw = (N + 1) + N + d * N + d * N
+        lbw = np.full(nw, -np.inf); ubw = np.full(nw, np.inf)
+        lbw[N + 1:N + 1 + N] = -2.0
+        ubw[N + 1:N + 1 + N] = 2.0
+        solver = ca.nlpsol("s", "ipopt", {"x": w, "f": J,
+                                          "g": ca.vertcat(*g)}, IPOPT_OPTS)
+        U0 = np.zeros(N) if U_ws is None else np.asarray(U_ws).ravel()
+        w0 = np.concatenate([np.full(N + 1, float(x[0])), U0,
+                             np.full(d * N, float(x[0])), np.zeros(d * N)])
+        sol = solver(x0=w0, lbx=lbw, ubx=ubw, lbg=lbg, ubg=ubg)
+        assert solver.stats()["success"]
+        wv = np.asarray(sol["x"]).ravel()
+        Us = wv[N + 1:N + 1 + N].reshape(N, 1)
+        U_ws = np.vstack([Us[1:], Us[-1:]])
+        U_gold.append(Us[0].copy())
+        x = rk4_like(dae_ode_np, x, Us[0])
+        X_meas.append(x.copy())
+    _save_nmpc("dae_colloc", X_meas, U_gold)
+
+
+def rk4_like(f, x, u, dt=0.1):
+    k1 = f(x, u)
+    k2 = f(x + 0.5 * dt * k1, u)
+    k3 = f(x + 0.5 * dt * k2, u)
+    k4 = f(x + dt * k3, u)
+    return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def _extract_gp_state():
+    """Rebuild the seeded GP from golden_configs.build_smpc_chance and pull
+    its posterior numerics: training X, alpha, M = (K+sn2+floor)^-1, sf2,
+    length scale. A numpy reimplementation is cross-checked against
+    gp.predict on a grid BEFORE any casadi use, so an extraction mismatch
+    fails loudly at generation time."""
+    from hilo_mpc_tpu import GP
+
+    rng = np.random.default_rng(3)
+    X = np.linspace(-1.5, 1.5, 25)[:, None]
+    y = 0.05 * np.sin(2 * X[:, 0]) + 0.02 * rng.standard_normal(25)
+    gp = GP(["x1"], ["d"], noise_variance=0.02)
+    gp.set_training_data(X, y)
+    gp.setup()
+    L, alpha = gp._state
+    Minv = np.linalg.inv(L @ L.T)            # (K + (sn2+floor) I)^-1
+    sf2 = float(np.squeeze(gp.kernel.signal_variance.value)) ** 2
+    ell = float(np.squeeze(gp.kernel.length_scales.value))
+
+    def k_np(a):
+        return sf2 * np.exp(-0.5 * ((a - X[:, 0]) / ell) ** 2)
+
+    # cross-check the extraction against the framework's own predict
+    for a in np.linspace(-1.2, 1.2, 7):
+        mu_ref, var_ref = gp.predict(np.array([[a]]))
+        kv = k_np(a)
+        mu_np = float(kv @ alpha)
+        var_np = float(sf2 - kv @ Minv @ kv)
+        assert abs(mu_np - float(np.squeeze(mu_ref))) < 1e-8, (a, mu_np, mu_ref)
+        assert abs(var_np - float(np.squeeze(var_ref))) < 1e-8, (a, var_np, var_ref)
+    return X[:, 0], alpha, Minv, sf2, ell
+
+
+def gen_smpc_chance():
+    """Mirror golden_configs.build_smpc_chance: SMPC over the deterministic
+    mean+covariance surrogate (smpc.py:149-191) with the erfinv chance
+    back-off (smpc.py:208-239). Surrogate state [mu (2); vec(P) (4)],
+    discrete map mu+ = rk4(f)(mu,u) + Bw m_gp(mu_1); P+ = A P Aᵀ + Bw v_gp Bwᵀ
+    with A = ∂mu+/∂mu (casadi jacobian = the surrogate's jax.jacfwd);
+    chance row mu_1 + kappa sqrt(max(P_11,0)+1e-10) <= 0.9."""
+    import casadi as ca
+    from scipy.special import erfinv
+
+    Xtr, alpha, Minv, sf2, ell = _extract_gp_state()
+    kappa = float(np.sqrt(2.0) * erfinv(2.0 * 0.95 - 1.0))
+    dt, N = 0.1, 10
+
+    def f_nom(xx, uu):
+        return ca.vertcat(xx[1], -0.5 * xx[0] - 0.4 * xx[1] + uu[0])
+
+    def rk4_ca(xx, uu):
+        k1 = f_nom(xx, uu)
+        k2 = f_nom(xx + 0.5 * dt * k1, uu)
+        k3 = f_nom(xx + 0.5 * dt * k2, uu)
+        k4 = f_nom(xx + dt * k3, uu)
+        return xx + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    def k_vec(a):
+        return ca.vertcat(*[sf2 * ca.exp(-0.5 * ((a - xi) / ell) ** 2)
+                            for xi in Xtr])
+
+    def gp_mean(a):
+        return ca.dot(k_vec(a), ca.DM(alpha))
+
+    def gp_var(a):
+        kv = k_vec(a)
+        return sf2 - ca.bilin(ca.DM(Minv), kv, kv)
+
+    # symbolic surrogate step on [mu; vec(P)] (row-major vec like jnp.reshape)
+    mu_s = ca.SX.sym("mu", 2)
+    u_s = ca.SX.sym("u", 1)
+    P_s = ca.SX.sym("P", 2, 2)
+    Bw = ca.DM([[0.0], [1.0]])               # gps={"x2": gp} -> unit selector
+    mu_next = rk4_ca(mu_s, u_s) + Bw @ gp_mean(mu_s[0])
+    A = ca.jacobian(mu_next, mu_s)
+    P_next = A @ P_s @ A.T + Bw @ gp_var(mu_s[0]) @ Bw.T
+    P_next = 0.5 * (P_next + P_next.T)
+    F = ca.Function("F", [mu_s, ca.vec(P_s), u_s],
+                    [mu_next, ca.vec(P_next)])
+
+    x = np.array([0.3, 0.0])
+    P0 = np.zeros((2, 2))
+    X_meas, U_gold, U_ws = [x.copy()], [], None
+
+    def plant_step_np(xx, uu):
+        f = lambda a, b: np.array([a[1], -0.5 * a[0] - 0.4 * a[1] + b[0]])
+        return rk4_like(f, xx, uu)
+
+    for _ in range(25):
+        MU = ca.SX.sym("MU", 2, N + 1)
+        PV = ca.SX.sym("PV", 4, N + 1)
+        U = ca.SX.sym("U", 1, N)
+        g, lbg, ubg = [], [], []
+        J = 0
+        g.append(MU[:, 0] - ca.DM(x)); lbg += [0.0] * 2; ubg += [0.0] * 2
+        g.append(PV[:, 0] - ca.DM(P0.ravel()))
+        lbg += [0.0] * 4; ubg += [0.0] * 4
+        for k in range(N):
+            e = MU[:, k] - ca.DM([0.85, 0.0])
+            J = J + 5.0 * e[0] ** 2 + 1.0 * e[1] ** 2 + 0.05 * U[0, k] ** 2
+            mu_n, pv_n = F(MU[:, k], PV[:, k], U[:, k])
+            g.append(MU[:, k + 1] - mu_n); lbg += [0.0] * 2; ubg += [0.0] * 2
+            g.append(PV[:, k + 1] - pv_n); lbg += [0.0] * 4; ubg += [0.0] * 4
+            # chance row at node k (stage constraint; P stored row-major so
+            # P_11 is PV[3])
+            sig = ca.sqrt(ca.fmax(PV[3, k], 0.0) + 1e-10)
+            g.append(MU[0, k] + kappa * sig - 0.9)
+            lbg.append(-np.inf); ubg.append(0.0)
+        w = ca.vertcat(ca.vec(MU), ca.vec(PV), ca.vec(U))
+        n_mu, n_pv = 2 * (N + 1), 4 * (N + 1)
+        lbw = np.concatenate([np.full(n_mu + n_pv, -np.inf),
+                              np.full(N, -2.0)])
+        ubw = np.concatenate([np.full(n_mu + n_pv, np.inf),
+                              np.full(N, 2.0)])
+        solver = ca.nlpsol("s", "ipopt", {"x": w, "f": J,
+                                          "g": ca.vertcat(*g)}, IPOPT_OPTS)
+        U0 = np.zeros(N) if U_ws is None else np.asarray(U_ws).ravel()
+        w0 = np.concatenate([np.tile(x, N + 1), np.tile(P0.ravel(), N + 1),
+                             U0])
+        sol = solver(x0=w0, lbx=lbw, ubx=ubw, lbg=lbg, ubg=ubg)
+        assert solver.stats()["success"]
+        wv = np.asarray(sol["x"]).ravel()
+        Us = wv[n_mu + n_pv:].reshape(N, 1)
+        U_ws = np.vstack([Us[1:], Us[-1:]])
+        U_gold.append(Us[0].copy())
+        x = plant_step_np(x, Us[0])
+        X_meas.append(x.copy())
+    _save_nmpc("smpc_chance", X_meas, U_gold)
+
+
 GENERATORS = {"cstr_tracking": gen_cstr_tracking, "mhe_cstr": gen_mhe_cstr,
               "softcon_active": gen_softcon_active, "lmpc_di": gen_lmpc_di,
               "pathfollow_soft": gen_pathfollow_soft, "mintime": gen_mintime,
-              "hybrid_ann": gen_hybrid_ann}
+              "hybrid_ann": gen_hybrid_ann, "du_tracking": gen_du_tracking,
+              "dae_colloc": gen_dae_colloc, "smpc_chance": gen_smpc_chance}
 
 
 def main():
