@@ -43,3 +43,22 @@ u0, sol = nmpc.optimize_batch(x0s)
 print(f"batched: {u0.shape[0]} solves, "
       f"{float(np.asarray(sol.converged).mean()) * 100:.1f}% converged, "
       f"median {np.median(np.asarray(sol.iterations))} IP iterations")
+
+if _os.environ.get("HILO_EXAMPLES_OUT"):     # gallery figure (tools/render_examples.py)
+    import _gallery as _g
+
+    X = np.asarray(plant.solution["x"])
+    X = X.T if X.shape[0] == 2 else X
+    t = 0.1 * np.arange(X.shape[0])
+    U = np.asarray(nmpc.solution["u"]).reshape(-1)
+    fig, axes = _g.new_fig(2)
+    ax = axes[0][0]
+    for i, (nm, c) in enumerate(zip(["x1", "x2"], _g.SERIES)):
+        ax.plot(t, X[:, i], color=c, lw=2, label=nm)
+        ax.axhline(SETPOINT[i], color=c, lw=1, ls="--", alpha=0.5)
+    _g.style(ax, "Closed-loop CSTR states (dashed = setpoint)", ylabel="state")
+    _g.legend(ax)
+    ax = axes[1][0]
+    ax.step(0.1 * np.arange(U.size), U, color=_g.SERIES[0], lw=2)
+    _g.style(ax, "Applied input", xlabel="time [h]", ylabel="u")
+    _g.save(fig, "closed_loop.png")

@@ -37,3 +37,24 @@ loop = SimpleControlLoop(plant, nmpc, mhe)
 loop.run(25)
 print("true final state:", plant.solution["x:f"])
 print("MHE stats:", mhe.stats)
+
+if _os.environ.get("HILO_EXAMPLES_OUT"):     # gallery figure
+    import _gallery as _g
+
+    Xt = np.asarray(plant.solution["x"])
+    Xt = Xt.T if Xt.shape[0] == 2 else Xt
+    Xe = np.asarray(mhe.solution["x"])
+    Xe = Xe.T if Xe.ndim == 2 and Xe.shape[0] == 2 else Xe
+    t = 0.1 * np.arange(Xt.shape[0])
+    te = t[-Xe.shape[0]:] if Xe.shape[0] else t[:0]
+    fig, axes = _g.new_fig(2)
+    for i in range(2):
+        ax = axes[i][0]
+        ax.plot(t, Xt[:, i], color=_g.SERIES[0], lw=2, label="true")
+        if Xe.shape[0]:
+            ax.plot(te, Xe[:, i], color=_g.SERIES[1], lw=2, ls="--",
+                    label="MHE estimate")
+        _g.style(ax, f"x{i + 1}: true plant vs MHE estimate",
+                 xlabel="time [h]" if i else None, ylabel=f"x{i + 1}")
+        _g.legend(ax)
+    _g.save(fig, "mhe_vs_true.png")

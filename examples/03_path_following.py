@@ -45,3 +45,19 @@ dists = np.array([np.min(np.linalg.norm(curve - pt, axis=1))
 print(f"path progress theta = {nmpc._theta_path0:.2f}, "
       f"max distance to path after transient = {dists.max():.3f}")
 assert dists.max() < 0.1
+
+if _os.environ.get("HILO_EXAMPLES_OUT"):     # gallery figure
+    import _gallery as _g
+
+    fig, axes = _g.new_fig(1, height=4.2, width=5.6)
+    ax = axes[0][0]
+    ax.plot(curve[:, 0], curve[:, 1], color=_g.MUTED, lw=1.2, ls="--",
+            label="reference path")
+    ax.plot(traj[:, 0], traj[:, 1], color=_g.SERIES[0], lw=2,
+            label="vehicle")
+    ax.plot(traj[0, 0], traj[0, 1], "o", color=_g.SERIES[0], ms=8)
+    _g.style(ax, "Path following: traversed trajectory vs reference curve",
+             xlabel="p_x", ylabel="p_y")
+    ax.set_aspect("equal")
+    _g.legend(ax)
+    _g.save(fig, "path_following.png")

@@ -53,3 +53,24 @@ x0s[:, 2:] = np.tile(np.eye(2).ravel() * 1e-4, (256, 1))
 u_batch, sol = smpc.optimize_batch(x0s)
 print(f"batched SMPC: {u_batch.shape[0]} scenarios, "
       f"{float(np.asarray(sol.converged).mean()) * 100:.1f}% converged")
+
+if _os.environ.get("HILO_EXAMPLES_OUT"):     # gallery figure
+    import _gallery as _g
+    from scipy.special import erfinv
+
+    kappa = float(np.sqrt(2.0) * erfinv(2 * 0.95 - 1.0))
+    mu_pos = pred[:, 0]
+    sig_pos = np.sqrt(np.maximum(pred[:, 2], 0.0))  # P_00 surrogate state
+    t = 0.1 * np.arange(pred.shape[0])
+    fig, axes = _g.new_fig(1)
+    ax = axes[0][0]
+    ax.fill_between(t, mu_pos - kappa * sig_pos, mu_pos + kappa * sig_pos,
+                    color=_g.SERIES[0], alpha=0.18, lw=0,
+                    label="95% band (GP covariance)")
+    ax.plot(t, mu_pos, color=_g.SERIES[0], lw=2, label="predicted mean pos")
+    ax.axhline(0.85, color=_g.SERIES[3], lw=1.5, ls="--",
+               label="chance bound 0.85")
+    _g.style(ax, "SMPC prediction: the erfinv back-off keeps the 95% band "
+             "under the bound", xlabel="time [s]", ylabel="position")
+    _g.legend(ax)
+    _g.save(fig, "chance_constraint.png")

@@ -63,8 +63,26 @@ if __name__ == "__main__":
     plant = cartpole()
     plant.setup(dt=0.05, integration_method="rk4")
     x = np.array([0.0, np.pi, 0.0, 0.0])
+    hist = [x.copy()]
     for k in range(80):
         u = nmpc.optimize(x)
         x = plant.simulate(x0=x, u=u, steps=1, store=False)["x"][-1]
+        hist.append(np.asarray(x).copy())
     print(f"closed loop after 4 s: theta={x[1]:.3f}, pos={x[0]:.3f}, "
           f"|omega|={abs(x[3]):.3f}")
+
+    import os as _os
+    if _os.environ.get("HILO_EXAMPLES_OUT"):     # gallery figure
+        import _gallery as _g
+
+        H = np.asarray(hist)
+        t = 0.05 * np.arange(H.shape[0])
+        fig, axes = _g.new_fig(1)
+        ax = axes[0][0]
+        ax.plot(t, H[:, 1], color=_g.SERIES[0], lw=2, label="theta [rad]")
+        ax.plot(t, H[:, 0], color=_g.SERIES[1], lw=2, label="cart pos [m]")
+        ax.axhline(0.0, color=_g.MUTED, lw=1, ls="--", alpha=0.6)
+        _g.style(ax, "Cart-pole swing-up: pi -> 0 under replanning NMPC",
+                 xlabel="time [s]")
+        _g.legend(ax)
+        _g.save(fig, "swingup.png")

@@ -36,12 +36,13 @@ nmpc.setup(options={"dt": 0.1})
 
 x = np.array([0.2, 0.1])
 nmpc.rti_prepare(x_pred=x)          # first prepare: at the measured state
-fb_lat, prep_lat = [], []
+fb_lat, prep_lat, hist = [], [], [x.copy()]
 for k in range(30):
     t0 = time.perf_counter()
     u = nmpc.rti_feedback(x)        # instant: cached move + K0 (x - x_pred)
     fb_lat.append(time.perf_counter() - t0)
     x = plant.simulate(u=u, steps=1)["x"][-1]
+    hist.append(np.asarray(x).copy())
     stats = nmpc.rti_prepare()      # solve ahead at the predicted state
     prep_lat.append(stats["t_prepare"])
 
@@ -50,3 +51,26 @@ print(f"feedback latency   p50 {1e3 * np.median(fb_lat):.3f} ms")
 print(f"prepare (hidden)   p50 {1e3 * np.median(prep_lat):.1f} ms, "
       f"{stats['iterations']} IP iterations")
 assert np.linalg.norm(x - SETPOINT) < 5e-3
+
+if _os.environ.get("HILO_EXAMPLES_OUT"):     # gallery figure
+    import _gallery as _g
+
+    H = np.asarray(hist)
+    t = 0.1 * np.arange(H.shape[0])
+    fig, axes = _g.new_fig(2)
+    ax = axes[0][0]
+    for i, c in enumerate(_g.SERIES[:2]):
+        ax.plot(t, H[:, i], color=c, lw=2, label=f"x{i + 1}")
+        ax.axhline(SETPOINT[i], color=c, lw=1, ls="--", alpha=0.5)
+    _g.style(ax, "RTI closed loop (dashed = setpoint)", ylabel="state")
+    _g.legend(ax)
+    ax = axes[1][0]
+    ks = np.arange(1, len(fb_lat) + 1)
+    ax.semilogy(ks, 1e3 * np.asarray(prep_lat), color=_g.SERIES[1], lw=2,
+                label="prepare (hidden, solve-ahead)")
+    ax.semilogy(ks, 1e3 * np.asarray(fb_lat), color=_g.SERIES[0], lw=2,
+                label="feedback (control latency)")
+    _g.style(ax, "Per-step latency: feedback is decoupled from the solve",
+             xlabel="loop step", ylabel="ms (log)")
+    _g.legend(ax)
+    _g.save(fig, "rti_latency.png")

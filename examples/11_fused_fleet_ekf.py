@@ -76,3 +76,21 @@ print(f"closed-loop convergence: {float(np.asarray(res.converged).mean()):.1%} "
 print(f"EKF estimation error (per-scenario max over run): "
       f"p50={np.median(est_err):.2e} max={est_err.max():.2e}")
 assert np.median(final_err) < 2e-2
+
+if os.environ.get("HILO_EXAMPLES_OUT"):     # gallery figure
+    import _gallery as _g
+
+    t = 0.1 * np.arange(X.shape[1])
+    show = min(64, X.shape[0])
+    fig, axes = _g.new_fig(1)
+    ax = axes[0][0]
+    for b in range(show):
+        ax.plot(t, X[b, :, 1], color=_g.SERIES[0], lw=0.8, alpha=0.12)
+    ax.plot(t, np.median(X[:, :, 1], axis=0), color=_g.SERIES[0], lw=2.5,
+            label=f"median of {X.shape[0]:,} scenarios")
+    ax.axhline(SETPOINT[1], color=_g.MUTED, lw=1, ls="--", alpha=0.8,
+               label="setpoint")
+    _g.style(ax, "Fused fleet closed loop with EKF feedback: x2 across the "
+             f"fleet ({show} shown)", xlabel="time [h]", ylabel="x2")
+    _g.legend(ax)
+    _g.save(fig, "fleet.png")

@@ -5,9 +5,9 @@ hilo_mpc/__init__.py:43-101) so users of HILO-MPC find the same names; every
 implementation underneath is JAX/XLA/Pallas-native. See ARCHITECTURE.md.
 """
 from .core.model import Model
-from .core.series import TimeSeries
+from .core.series import OptimizationSeries, TimeSeries
 
-__version__ = "0.6.0"
+__version__ = "0.7.0"
 
 _LAZY = {
     # control

@@ -24,9 +24,18 @@ mutating cost/constraint objects afterwards requires a new setup() call
 """
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
+
 import numpy as np
 
-_TRACE_REGISTRY: dict = {}
+_TRACE_REGISTRY: OrderedDict = OrderedDict()
+# LRU bound: compiled executables are pinned by their entry, so a long-lived
+# process constructing many DISTINCT configurations (a test run, a sweep
+# script) would otherwise grow without bound. 256 configurations comfortably
+# covers any real program; evicted entries free their executables once the
+# last controller instance using them is gone.
+_MAX_ENTRIES = int(os.environ.get("HILO_TRACE_REGISTRY_MAX", "256"))
 
 
 def clear_trace_registry() -> None:
@@ -41,12 +50,20 @@ def trace_registry_stats() -> dict:
 
 
 def registry_lookup(sig):
-    return _TRACE_REGISTRY.get(sig) if sig is not None else None
+    if sig is None:
+        return None
+    ent = _TRACE_REGISTRY.get(sig)
+    if ent is not None:
+        _TRACE_REGISTRY.move_to_end(sig)
+    return ent
 
 
 def registry_store(sig, entry: dict):
     entry.setdefault("sites", {})
     _TRACE_REGISTRY[sig] = entry
+    _TRACE_REGISTRY.move_to_end(sig)
+    while len(_TRACE_REGISTRY) > _MAX_ENTRIES:
+        _TRACE_REGISTRY.popitem(last=False)
     return entry
 
 

@@ -223,3 +223,93 @@ class TestParserErrors:
     def test_valid_model_parses(self):
         res = parse_equations("dx/dt = -k*x(t) + u(k)\ny(k) = x(t)")
         assert res is not None
+
+
+class TestSeriesMergeInterp:
+    """Round-5: Series merge/interpolation + OptimizationSeries (reference:
+    modules/base.py:2157, 3720 — the VERDICT r3 'Series niceties' gap)."""
+
+    def _ts(self, t0=0.0, n=5):
+        ts = TimeSeries("s")
+        ts.register("x", ["a", "b"])
+        for k in range(n):
+            ts.append(t0 + 0.1 * k, x=[k, 2.0 * k])
+        return ts
+
+    def test_interpolate_midpoints(self):
+        ts = self._ts()
+        out = ts.interpolate([0.05, 0.25])
+        np.testing.assert_allclose(out["x"],
+                                   [[0.5, 2.5], [1.0, 5.0]], atol=1e-12)
+        np.testing.assert_allclose(out["t"], [0.05, 0.25])
+
+    def test_interpolate_kind_returns_array(self):
+        ts = self._ts()
+        arr = ts.interpolate([0.15], kind="x")
+        np.testing.assert_allclose(arr, [[1.5], [3.0]])
+
+    def test_interpolate_skips_nan_gaps(self):
+        ts = TimeSeries("s")
+        ts.register("x", ["a"])
+        ts.register("u", ["v"])
+        ts.append(0.0, x=[0.0], u=[1.0])
+        ts.append(0.1, x=[1.0])            # u not logged -> NaN gap
+        ts.append(0.2, x=[2.0], u=[3.0])
+        out = ts.interpolate([0.1])
+        np.testing.assert_allclose(out["x"], [[1.0]])
+        # u interpolates across its own valid samples (0.0 and 0.2)
+        np.testing.assert_allclose(out["u"], [[2.0]])
+
+    def test_merge_union_of_kinds(self):
+        a = self._ts()
+        b = TimeSeries("s")
+        b.register("y", ["m"])
+        for k in range(3):
+            b.append(0.05 + 0.1 * k, y=[10.0 + k])
+        out = a.merge(b)
+        assert out.n_samples == 8
+        assert set(out.kinds) == {"x", "y"}
+        assert np.all(np.diff(out["t"]) >= 0)
+        # a's kinds are NaN at b's instants and vice versa
+        assert np.isnan(out["y"]).sum() == 2 * 0 + 5
+        assert np.isnan(out["x"]).sum() == 2 * 3
+
+    def test_merge_interpolate_fills(self):
+        a = self._ts()
+        b = TimeSeries("s")
+        b.register("y", ["m"])
+        b.append(0.0, y=[0.0])
+        b.append(0.4, y=[4.0])
+        out = a.merge(b, interpolate=True)
+        y = out["y"].ravel()
+        t = out["t"]
+        np.testing.assert_allclose(y, 10.0 * t, atol=1e-12)
+
+    def test_merge_conflicting_names_raises(self):
+        a = self._ts()
+        b = TimeSeries("s")
+        b.register("x", ["other", "names"])
+        b.append(0.0, x=[0.0, 0.0])
+        with pytest.raises(ValueError, match="different variables"):
+            a.merge(b)
+
+    def test_optimization_series(self):
+        from hilo_mpc_tpu import OptimizationSeries
+
+        os_ = OptimizationSeries("s")
+        os_.register("u", ["v"])
+        os_.append(0.0, u=[1.0], stats=[4, 1e-9, 2.5, 1.0])
+        os_.append(0.1, u=[2.0], stats=[6, 1e-8, 3.5, 0.0])
+        np.testing.assert_allclose(os_.iterations, [4, 6])
+        np.testing.assert_allclose(os_.solve_times_ms, [2.5, 3.5])
+        assert os_.convergence_rate == 0.5
+
+    def test_adopt_controller_solution(self):
+        from hilo_mpc_tpu import OptimizationSeries
+
+        ts = TimeSeries("h")
+        ts.register("x", ["a"])
+        ts.append(0.0, x=[1.0])
+        out = OptimizationSeries.adopt(ts)
+        assert "stats" in out.kinds
+        assert np.isnan(out.convergence_rate)
