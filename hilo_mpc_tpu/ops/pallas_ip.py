@@ -128,7 +128,8 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
                           options: IPOptions = IPOptions(),
                           tile_b: Optional[int] = None,
                           interpret: Optional[bool] = None,
-                          pack: int = 1) -> OCPSolution:
+                          pack: int = 1,
+                          vmem_mb: Optional[float] = None) -> OCPSolution:
     """Batched whole-solve kernel. Inputs: theta_B (B,N+1,nt), x0_B (B,nx),
     X_B (B,N+1,nx), U_B (B,N,nu). Returns a batched OCPSolution (leading dim B).
 
@@ -812,6 +813,15 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
         return pl.BlockSpec((nr * PK, TB), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
+    call_kwargs = {}
+    if not interpret and vmem_mb is not None:
+        # packed layouts (pack>=4) need more scoped VMEM than the 16 MB
+        # default for their flattened-lane AD stack (measured: N=2 pack=8
+        # wants 25.9 MB, N=8 pack=4 17.8 MB). CAUTION: a 100 MB request made
+        # kernels fault at runtime inside large-batch solves in round 3 —
+        # validate any raised limit against the XLA path at production batch.
+        call_kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_mb * 2 ** 20))
     X_o, U_o, lam_o, s_o, z_o, sNzN_o, misc = pl.pallas_call(
         kernel,
         grid=grid,
@@ -821,6 +831,7 @@ def solve_ocp_pallas_full(funcs: OCPFunctions, dims: OCPDims, bounds: OCPBounds,
                    spec2(2 * max(R_t, 1)), spec2(6)),
         out_shape=out_shape,
         interpret=interpret,
+        **call_kwargs,
     )(valid, th_f, X_f, U_f)
 
     def back(x, shape, n_lead, nfeat):

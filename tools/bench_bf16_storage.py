@@ -50,10 +50,14 @@ def cost_bytes(nmpc, args):
 
 
 def main():
+    import os
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/hilo_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import __graft_entry__ as ge
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 131072

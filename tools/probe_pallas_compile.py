@@ -12,16 +12,20 @@ compile can be killed from outside:
 Prints one line: `N=<n> pack=<p> tile=<t> compile_s=<seconds>` (or the
 process is killed by the timeout — record that as >timeout).
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     pack = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     tile = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    vmem_mb = float(sys.argv[4]) if len(sys.argv) > 4 else None
     B = pack * tile
 
     import jax
@@ -44,14 +48,15 @@ def main():
     def solve(theta_B, xs0_B, X_B, U_B):
         return solve_ocp_pallas_full(funcs, dims, bounds, theta_B, xs0_B,
                                      X_B, U_B, options=opts, tile_b=tile,
-                                     interpret=False, pack=pack)
+                                     interpret=False, pack=pack,
+                                     vmem_mb=vmem_mb)
 
     t0 = time.time()
     sol = jax.jit(solve)(*args)
     jax.block_until_ready(sol.U)
     dt = time.time() - t0
     conv = float(np.asarray(sol.converged).mean())
-    print(f"N={N} pack={pack} tile={tile} compile_s={dt:.1f} "
+    print(f"N={N} pack={pack} tile={tile} vmem={vmem_mb} compile_s={dt:.1f} "
           f"converged={conv:.3f}", flush=True)
 
 

@@ -101,7 +101,7 @@ def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     patterns = sys.argv[1:]
     files = sorted(f for f in os.listdir(EX_DIR)
-                   if f.endswith(".py") and
+                   if f.endswith(".py") and not f.startswith("_") and
                    (not patterns or any(p in f for p in patterns)))
     rows = [render_one(f) for f in files]
     if not patterns:
