@@ -37,8 +37,8 @@ _NLP_OPTION_KEYS = {
     "newton_iters", "max_iter", "tol", "mu_init", "warm_start", "print_level",
     "dt", "convexify", "n_linesearch", "early_exit", "u_pf_lb", "u_pf_ub",
     "ipopt_debugger", "parallel_riccati", "pallas_riccati", "mehrotra",
-    "riccati_unroll", "pallas_full", "pallas_tile",
-    "const_cost_hessian", "lin_storage_dtype",
+    "riccati_unroll", "pallas_full", "pallas_tile", "pallas_full_pack",
+    "pallas_vmem_mb", "const_cost_hessian", "lin_storage_dtype",
     "mi_neighbors",
     "mi_max_enum",
 }
@@ -751,6 +751,8 @@ class NMPC:
             # the problem shape qualifies (box-only constraints, pure Newton)
             pallas_full=options.get("pallas_full", False),
             pallas_tile=options.get("pallas_tile", 256),
+            pallas_full_pack=options.get("pallas_full_pack", 1),
+            pallas_vmem_mb=options.get("pallas_vmem_mb", None),
             # ~30% fewer IP iterations at identical solutions (ignored by the
             # solver when equality constraints are present)
             mehrotra=options.get("mehrotra", True),
@@ -1643,7 +1645,9 @@ class NMPC:
                 def solve_many_pl(theta_B, xs0_B, X_B, U_B):
                     return solve_ocp_pallas_full(
                         funcs, dims, bounds, theta_B, xs0_B, X_B, U_B,
-                        options=opts_pl, tile_b=opts.pallas_tile)
+                        options=opts_pl, tile_b=opts.pallas_tile,
+                        pack=opts.pallas_full_pack,
+                        vmem_mb=opts.pallas_vmem_mb)
 
                 return jax.jit(solve_many_pl)
             import warnings

@@ -241,9 +241,21 @@ class MovingHorizonEstimator(Estimator):
         self._funcs = funcs
         # 1e-7 KKT is unreachable in f32; pick the default by solver dtype
         default_tol = 1e-7 if dtype == jnp.float64 else 1e-4
-        ip_opts = IPOptions(max_iter=options.get("max_iter", 40),
-                            tol=options.get("tol", default_tol),
-                            mu_init=options.get("mu_init", 1e-2))
+        # the NMPC throughput playbook applies unchanged to the window solve
+        # (same stagewise IP engine): fewer line-search candidates, unrolled
+        # or Pallas-fused Riccati sweeps, Mehrotra — see docs/PERFORMANCE.md
+        ip_opts = IPOptions(
+            max_iter=options.get("max_iter", 40),
+            tol=options.get("tol", default_tol),
+            mu_init=options.get("mu_init", 1e-2),
+            n_linesearch=options.get("n_linesearch", 10),
+            mehrotra=options.get("mehrotra", False),
+            convexify=options.get("convexify", True),
+            early_exit=options.get("early_exit", True),
+            riccati_unroll=options.get("riccati_unroll", 1),
+            pallas_riccati=options.get("pallas_riccati", False),
+            parallel_riccati=options.get("parallel_riccati", False),
+            const_cost_hessian=options.get("const_cost_hessian", False))
         self._ip_opts = ip_opts
         # cross-instance trace sharing (utils/trace_cache.py): same-config MHE
         # instances adopt the canonical funcs/dims/jits instead of retracing.

@@ -113,6 +113,13 @@ class IPOptions:
     # (NMPC.solve_batch_fn) when `pallas_full_supported` holds, f32 only
     pallas_full: bool = False
     pallas_tile: int = 256       # lanes per grid step of the whole-solve kernel
+    # sublane packing of the whole-solve kernel. pack=4 is the largest
+    # compilable packed layout at the flagship shape (N=20: 526 s Mosaic
+    # compile, converges; pack=8 is compile-pathological >30 min) and needs
+    # pallas_vmem_mb >= 32 for its flattened-lane AD stack (measured
+    # 2026-08-21, tools/probe_pallas_compile.py)
+    pallas_full_pack: int = 1
+    pallas_vmem_mb: Optional[float] = None
     mehrotra: bool = False       # predictor-corrector with adaptive centering
     # lax.scan unroll factor for the Riccati sweeps: unrolling lets XLA fuse
     # across stages and trims per-step loop overhead (measured on v5e: the

@@ -39,14 +39,31 @@ sweep kernel (ops/pallas_kernels.riccati_lq_pallas).
 Round-3 addendum: the kernel was parametrized with the pack=8 full-VREG
 sublane layout that made the standalone Riccati sweep 2.6x faster (the lane
 -stripe inefficiency above was the prime suspect for the 0.33x). It is
-numerically identical (interpret-mode parity tests) but UNMEASURABLE on the
-chip so far: Mosaic's compile of this kernel at pack=8 runs >75 minutes
-(killed), vs 116 s at pack=1 — re-measured pack=1 at 452k solves/s B=65536,
-within noise of round 2. The compile blowup is specific to this kernel's
-unrolled whole-IP body (the sweep kernel compiles at pack=8 in ~5 s). The
-roofline analysis (docs/PERFORMANCE.md) still identifies the fully-fused
-solve as the main remaining perf lever — blocked on the Mosaic compile
-pathology, not on the design.
+numerically identical (interpret-mode parity tests) but its pack=8 Mosaic
+compile ran >75 minutes (killed) vs 116 s at pack=1.
+
+Round-4 RESOLUTION (2026-08-21, tools/probe_pallas_compile.py): the blocker
+was pinned and the experiment completed.
+  * Root cause 1 — scoped-VMEM infeasibility: at the 16 MB default the
+    packed kernel's flattened-lane AD stack does not fit (N=2 pack=8 needs
+    25.9 MB; N=8 pack=4 needs 17.8 MB; errors are reported FAST once the
+    limit is the only problem). `vmem_mb=` raises the limit via
+    pltpu.CompilerParams.
+  * Root cause 2 — a residual compile-TIME pathology specific to pack=8 at
+    long horizons: with vmem fixed, N=20 pack=8 still exceeds 30 min
+    (killed), while pack=4 compiles (N=2: 9.9 s, N=8: 90 s, N=20: 526 s —
+    strongly superlinear in N, the minimal-repro scaling curve).
+  * MEASURED A/B at the flagship shape (N=20, B=65536, same day):
+    pack=4 + vmem 32 MB = 495k solves/s, conv 100%, max|dU| 3.0e-7 vs the
+    XLA path's 1,347k (0.37x; pack=1 was 452k). The packed layout recovers
+    only ~10%, NOT the sweep kernel's 2.6x.
+VERDICT: the monolithic whole-IP kernel loses to the XLA+pallas-sweep
+hybrid REGARDLESS of layout — it serializes the entire IP loop per lane
+tile, so the AD-heavy linearization cannot overlap the sweeps across the
+batch the way XLA's fusion+pipelining does, and its lane-vector matmuls
+never touch the MXU. The roofline's "~10x bytes headroom" is not reachable
+by this design; the kernel stays opt-in (`pallas_full`,
+`pallas_full_pack`, `pallas_vmem_mb`) as the measured record.
 """
 from __future__ import annotations
 

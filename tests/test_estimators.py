@@ -419,3 +419,36 @@ class TestPredictUpdateSplit:
         x_up, _, _ = ukf.update(x_pr, P_pr, y, u=u, t=0.1)
         x_est = ukf.estimate(y=y, u=u)
         np.testing.assert_allclose(x_up, x_est, atol=1e-6)
+
+
+def test_mhe_playbook_options_match_defaults():
+    """The NMPC solver playbook passes through MHE.setup and leaves the
+    estimates unchanged (docs/PERFORMANCE.md MHE section; measured 5.9x on
+    chip). Pin both the option plumbing and the estimate parity."""
+    import numpy as np
+
+    from hilo_mpc_tpu import MHE
+    from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
+
+    def build(**opts):
+        mhe = MHE(cstr_schaffner_and_zeitz(), plot_backend=None)
+        mhe.horizon = 6
+        mhe.Q = 1e-4
+        mhe.R = 1e-3
+        mhe.P0 = np.eye(2) * 0.1
+        mhe.set_initial_parameter_values([1.0] * 6)
+        mhe.setup(dt=0.1, options=opts)
+        mhe.set_initial_guess([0.25, 0.15])
+        return mhe
+
+    rng = np.random.default_rng(5)
+    ys = 0.25 + 0.01 * rng.standard_normal((8, 7, 1))
+    us = np.zeros((8, 7, 1))
+    arr = np.tile([0.25, 0.15], (8, 1))
+    x_def, sol_def = build().estimate_batch(ys, us, x_arrivals=arr)
+    x_pb, sol_pb = build(
+        n_linesearch=1, convexify=False, riccati_unroll=6,
+        max_iter=25).estimate_batch(ys, us, x_arrivals=arr)
+    assert np.asarray(sol_def.converged).all()
+    assert np.asarray(sol_pb.converged).all()
+    np.testing.assert_allclose(x_pb, x_def, atol=5e-5)

@@ -1,7 +1,8 @@
 """Measure the whole-solve Pallas IP kernel (ops/pallas_ip.py) on the real chip
 against the flagship XLA path at the bench config (CSTR, N=20).
 
-Usage: python tools/bench_pallas_full.py [B] [reps] [tile_b]
+Usage: python tools/bench_pallas_full.py [B] [reps] [tile_b] [pack] [vmem_mb]
+(pack>=4 needs a raised vmem_mb — see probe_pallas_compile.py measurements)
 """
 import os
 import sys
@@ -50,9 +51,11 @@ def main():
     theta_B, xs0_B, X_B, U_B = args
 
     tile_b = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    pack = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    vmem_mb = float(sys.argv[5]) if len(sys.argv) > 5 else None
     pl = jax.jit(lambda th, x0, X, U: solve_ocp_pallas_full(
         nmpc._funcs, nmpc._dims, nmpc._bounds, th, x0, X, U,
-        options=opts, tile_b=tile_b))
+        options=opts, tile_b=tile_b, pack=pack, vmem_mb=vmem_mb))
     t0 = time.time()
     solp = pl(theta_B, xs0_B, X_B, U_B)
     jax.block_until_ready(solp.U)

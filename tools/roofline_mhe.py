@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def build_mhe(N=10, tol=1e-4, max_iter=40):
+def build_mhe(N=10, tol=1e-4, max_iter=40, **extra):
     from hilo_mpc_tpu import MHE
     from hilo_mpc_tpu.library import cstr_schaffner_and_zeitz
 
@@ -31,9 +31,16 @@ def build_mhe(N=10, tol=1e-4, max_iter=40):
     mhe.P0 = np.eye(2) * 0.1
     mhe.set_initial_parameter_values([1.0] * 6)
     mhe.setup(dt=0.1, options={"integration_method": "rk4", "tol": tol,
-                               "max_iter": max_iter})
+                               "max_iter": max_iter, **extra})
     mhe.set_initial_guess([0.25, 0.15])
     return mhe
+
+
+# NMPC throughput playbook applied to the window solve (docs/PERFORMANCE.md):
+# single fraction-to-boundary Newton step per iteration, fully-unrolled
+# sweeps, fused Pallas Riccati, no per-stage eigh
+PLAYBOOK = dict(n_linesearch=1, convexify=False, riccati_unroll=10,
+                pallas_riccati=True, max_iter=25)
 
 
 def batch_windows(mhe, B, seed=0):
@@ -84,86 +91,111 @@ def main():
     print(f"# device={dev.platform}:{peaks['device_kind']} B={B}",
           file=sys.stderr)
 
-    mhe = build_mhe()
-    X0, Ys, Us = batch_windows(mhe, B)
-    N = mhe._horizon
-    p_vec = np.ones(6)
-    theta = mhe._theta_batch(Ys[:, :N + 1], Us[:, :N + 1], X0, p_vec)
-    dtype = mhe._solver_dtype
-    xs0 = X0
-    X_init = np.tile(xs0[:, None, :], (1, N + 1, 1))
-    U_init = np.zeros((B, N, 2))
-    solve = mhe._get_solve_batch_jit()
-    args = (jnp.asarray(theta, dtype), jnp.asarray(xs0, dtype),
-            jnp.asarray(X_init, dtype), jnp.asarray(U_init, dtype))
+    def run_config(mhe):
+        X0, Ys, Us = batch_windows(mhe, B)
+        N = mhe._horizon
+        p_vec = np.ones(6)
+        theta = mhe._theta_batch(Ys[:, :N + 1], Us[:, :N + 1], X0, p_vec)
+        dtype = mhe._solver_dtype
+        xs0 = X0
+        X_init = np.tile(xs0[:, None, :], (1, N + 1, 1))
+        U_init = np.zeros((B, N, 2))
+        solve = mhe._get_solve_batch_jit()
+        args = (jnp.asarray(theta, dtype), jnp.asarray(xs0, dtype),
+                jnp.asarray(X_init, dtype), jnp.asarray(U_init, dtype))
 
-    t0 = time.time()
-    sol = solve(mhe._bounds, *args)
-    jax.block_until_ready(sol.X)
-    compile_s = time.time() - t0
+        t0 = time.time()
+        sol = solve(mhe._bounds, *args)
+        jax.block_until_ready(sol.X)
+        compile_s = time.time() - t0
 
-    def timeit(a):
-        ts = []
-        for _ in range(4):
-            t0 = time.perf_counter()
-            s = solve(mhe._bounds, *a)
-            jax.block_until_ready(s.X)
-            ts.append(time.perf_counter() - t0)
-        return min(ts), s
+        def timeit(a):
+            ts = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                s = solve(mhe._bounds, *a)
+                # force full materialization: on the remote-dispatch backend
+                # block_until_ready alone can return before the data exists
+                # (dispatch-floor artifact) — pull a small slice to host
+                np.asarray(s.iterations[:16])
+                jax.block_until_ready(s.X)
+                ts.append(time.perf_counter() - t0)
+            return min(ts), s
 
-    t_cold, sol = timeit(args)
-    # warm regime (deployment ring buffer): the NEXT window — one new
-    # measurement appended, arrival state advanced to the previous solve's
-    # node-1 estimate, initial trajectory = shifted previous solution
-    X_sol = np.asarray(sol.X)
-    arr_w = X_sol[:, 1, :2]
-    theta_w = mhe._theta_batch(Ys[:, 1:N + 2], Us[:, 1:N + 2], arr_w, p_vec)
-    X_w = np.concatenate([X_sol[:, 1:], X_sol[:, -1:]], axis=1)
-    U_w = np.concatenate([np.asarray(sol.U)[:, 1:],
-                          np.asarray(sol.U)[:, -1:]], axis=1)
-    args_w = (jnp.asarray(theta_w, dtype), jnp.asarray(arr_w, dtype),
-              jnp.asarray(X_w, dtype), jnp.asarray(U_w, dtype))
-    t_warm, sol_w = timeit(args_w)
+        t_cold, sol = timeit(args)
+        # warm regime (deployment ring buffer): the NEXT window — one new
+        # measurement appended, arrival advanced to the previous node-1
+        # estimate, initial trajectory = shifted previous solution
+        X_sol = np.asarray(sol.X)
+        arr_w = X_sol[:, 1, :2]
+        theta_w = mhe._theta_batch(Ys[:, 1:N + 2], Us[:, 1:N + 2], arr_w,
+                                   p_vec)
+        X_w = np.concatenate([X_sol[:, 1:], X_sol[:, -1:]], axis=1)
+        U_w = np.concatenate([np.asarray(sol.U)[:, 1:],
+                              np.asarray(sol.U)[:, -1:]], axis=1)
+        args_w = (jnp.asarray(theta_w, dtype), jnp.asarray(arr_w, dtype),
+                  jnp.asarray(X_w, dtype), jnp.asarray(U_w, dtype))
+        t_warm, sol_w = timeit(args_w)
 
-    # XLA cost analysis (counts the while-loop body once)
-    try:
-        comp = solve.lower(mhe._bounds, *args).compile()
-        ca = comp.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        fl1 = float(ca.get("flops", 0)) / B
-        by1 = float(ca.get("bytes accessed", 0)) / B
-    except Exception as e:
-        fl1 = by1 = float("nan")
-        print(f"# cost analysis failed: {e}", file=sys.stderr)
+        try:
+            comp = solve.lower(mhe._bounds, *args).compile()
+            ca = comp.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            fl1 = float(ca.get("flops", 0)) / B
+            by1 = float(ca.get("bytes accessed", 0)) / B
+        except Exception as e:
+            fl1 = by1 = float("nan")
+            print(f"# cost analysis failed: {e}", file=sys.stderr)
 
-    trips = float(np.asarray(sol_w.iterations).max())
-    out = {
-        "B": B, "N": N, "compile_s": compile_s,
-        "cold": {"t_s": t_cold, "windows_per_s": B / t_cold,
-                 "iters_p50": float(np.median(np.asarray(sol.iterations))),
-                 "converged": float(np.asarray(sol.converged).mean())},
-        "warm": {"t_s": t_warm, "windows_per_s": B / t_warm,
-                 "iters_p50": float(np.median(np.asarray(sol_w.iterations))),
-                 "iters_max": trips,
-                 "converged": float(np.asarray(sol_w.converged).mean())},
-        "flops_per_window_one_trip": fl1,
-        "bytes_per_window_one_trip": by1,
-    }
-    if np.isfinite(by1):
-        bytes_w = by1 * trips
-        flops_w = fl1 * trips
-        bw = bytes_w * out["warm"]["windows_per_s"]
-        ach = flops_w * out["warm"]["windows_per_s"]
-        out["roofline"] = {
-            "bytes_per_window_xla_est": bytes_w,
-            "flops_per_window": flops_w,
-            "achieved_GBps_est": bw / 1e9,
-            "hbm_util_est": bw / peaks["hbm_Bps"],
-            "util_vs_vpu_f32_est": ach / peaks["vpu_f32"],
-            "binding_resource": ("HBM bandwidth" if bw / peaks["hbm_Bps"] > 0.6
-                                 else "VPU issue rate / op serialization"),
+        trips = float(np.asarray(sol_w.iterations).max())
+        res = {
+            "B": B, "N": N, "compile_s": compile_s,
+            "cold": {"t_s": t_cold, "windows_per_s": B / t_cold,
+                     "iters_p50": float(np.median(
+                         np.asarray(sol.iterations))),
+                     "converged": float(np.asarray(sol.converged).mean())},
+            "warm": {"t_s": t_warm, "windows_per_s": B / t_warm,
+                     "iters_p50": float(np.median(
+                         np.asarray(sol_w.iterations))),
+                     "iters_max": trips,
+                     "converged": float(np.asarray(sol_w.converged).mean())},
+            "flops_per_window_one_trip": fl1,
+            "bytes_per_window_one_trip": by1,
         }
+        if np.isfinite(by1):
+            bytes_w = by1 * trips            # XLA estimate: UPPER bound
+            bw = bytes_w * res["warm"]["windows_per_s"]
+            # physically-movable bytes in the measured time at peak BW
+            bytes_cap = peaks["hbm_Bps"] * t_warm / B
+            res["roofline"] = {
+                "bytes_per_window_xla_upper_bound": bytes_w,
+                "bytes_per_window_at_peak_bw": bytes_cap,
+                "xla_overcount_factor": bytes_w / max(bytes_cap, 1e-30),
+                "hbm_util_vs_xla_est": bw / peaks["hbm_Bps"],
+                "binding_resource": (
+                    "HBM bandwidth (XLA bytes estimate >= the physical "
+                    "ceiling for the measured time, i.e. the solve runs "
+                    "within its estimate's bytes-limited floor)"
+                    if bw >= 0.6 * peaks["hbm_Bps"]
+                    else "VPU issue rate / op serialization"),
+            }
+        return res, np.asarray(sol_w.X)[:, -1, :2]
+
+    out = {}
+    x_ref = None
+    for name, mhe in (("default", build_mhe()),
+                      ("playbook", build_mhe(**PLAYBOOK))):
+        res, x_est = run_config(mhe)
+        out[name] = res
+        if x_ref is None:
+            x_ref = x_est
+        else:
+            out[name]["max_est_dev_vs_default"] = float(
+                np.max(np.abs(x_est - x_ref)))
+        print(f"# {name}: warm {res['warm']['windows_per_s']:,.0f} "
+              f"windows/s (cold {res['cold']['windows_per_s']:,.0f}), "
+              f"conv {res['warm']['converged']:.3f}", file=sys.stderr)
 
     target = "ROOFLINE.json"
     for i, a in enumerate(sys.argv):
