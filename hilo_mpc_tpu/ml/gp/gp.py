@@ -18,8 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..hyperparameters import Hyperparameter
-from .inference import ExactInference
+from .inference import ExactInference, Laplace
 from .kernels import Kernel, SquaredExponentialKernel
+from .likelihood import Gaussian, Likelihood, Logistic, StudentsT
 from .means import Mean, ZeroMean
 
 
@@ -42,28 +43,49 @@ class GaussianProcess:
         self.kernel = kernel if kernel is not None else SquaredExponentialKernel(
             length_scales=np.ones(len(self.features)))
         self.mean = mean if mean is not None else ZeroMean()
-        # recognized-but-unimplemented names raise NotImplementedError,
-        # unknown names ValueError — same contract as the reference's factories
-        # (gp/inference.py:44-257, gp/likelihood.py:24-102)
+        # exact inference for the Gaussian likelihood; the Laplace
+        # approximation (ml/gp/inference.py) for logistic classification and
+        # Student's-t robust regression — both surfaces the reference only
+        # declares (gp/inference.py:224-230, gp/likelihood.py:78-102).
+        # Still-unimplemented names raise NotImplementedError, unknown names
+        # ValueError — the reference factories' contract.
         inf_key = inference.lower().replace(" ", "_").replace("-", "_")
-        if inf_key in ("laplace", "expectation_propagation", "ep",
-                       "variational_bayes", "vb", "kullback_leibler", "kl"):
+        if inf_key in ("expectation_propagation", "ep", "variational_bayes",
+                       "vb", "kullback_leibler", "kl"):
             raise NotImplementedError(
                 f"inference {inference!r} is declared but not implemented "
-                f"(the reference declares the same stubs); use 'exact'")
-        if inf_key not in ("exact", "exactinference"):
+                f"(the reference declares the same stubs); use 'exact' or "
+                f"'laplace'")
+        if inf_key not in ("exact", "exactinference", "laplace"):
             raise ValueError(f"Inference {inference!r} not recognized")
-        lik_key = likelihood.lower().replace(" ", "_").replace("-", "_").replace(
-            "'", "")
-        if lik_key in ("logistic", "laplacian", "students_t", "studentst",
-                       "student_t"):
-            raise NotImplementedError(
-                f"likelihood {likelihood!r} is declared but not implemented "
-                f"(the reference declares the same stubs); use 'gaussian'")
-        if lik_key not in ("gaussian", "normal"):
-            raise ValueError(f"Likelihood {likelihood!r} not recognized")
+        if isinstance(likelihood, Likelihood):
+            self.likelihood = likelihood
+        else:
+            lik_key = likelihood.lower().replace(" ", "_").replace(
+                "-", "_").replace("'", "")
+            if lik_key in ("gaussian", "normal"):
+                self.likelihood = Gaussian()
+            elif lik_key == "logistic":
+                self.likelihood = Logistic()
+            elif lik_key in ("students_t", "studentst", "student_t"):
+                self.likelihood = StudentsT()
+            elif lik_key == "laplacian":
+                from .likelihood import Laplacian
+                Laplacian()  # raises NotImplementedError with the reason
+            else:
+                raise ValueError(f"Likelihood {likelihood!r} not recognized")
+        if inf_key != "laplace" and self.likelihood.name != "gaussian":
+            raise ValueError(
+                f"exact inference requires the Gaussian likelihood (the "
+                f"reference enforces the same, gp/inference.py:194); use "
+                f"inference='laplace' for {self.likelihood.name!r}")
+        self.inference = "laplace" if inf_key == "laplace" else "exact"
         self.noise_variance = Hyperparameter("GP.noise_variance",
                                              value=noise_variance, positive=True)
+        if not self.likelihood.uses_noise:
+            # logistic classification has no observation-noise parameter:
+            # exclude it from fitting so the optimizer cannot wander it
+            self.noise_variance.fixed = True
         self.solver = solver
         self.name = name or "gp"
         self.X_train: Optional[np.ndarray] = None   # (n, d)
@@ -92,6 +114,15 @@ class GaussianProcess:
         y = y.ravel()
         if y.size != X.shape[0]:
             raise ValueError(f"{X.shape[0]} samples but {y.size} labels")
+        if self.likelihood.name == "logistic":
+            # classification labels: accept {0, 1} or {-1, +1}, store {-1, +1}
+            vals = set(np.unique(y).tolist())
+            if vals <= {0.0, 1.0}:
+                y = 2.0 * y - 1.0
+            elif not vals <= {-1.0, 1.0}:
+                raise ValueError(
+                    f"logistic likelihood needs binary labels in {{0,1}} or "
+                    f"{{-1,+1}}, got values {sorted(vals)[:5]}")
         self.X_train, self.y_train = X, y
         self._state = None
         return self
@@ -151,8 +182,12 @@ class GaussianProcess:
         # the stored value acts as a standard deviation, like the reference
         # (inference.py:199 exp(2*log_noise))
         sn2 = jnp.squeeze(params[self.noise_variance.key]) ** 2
-        lml = ExactInference.log_marginal_likelihood(
-            self.kernel, self.mean, params, X, y, sn2)
+        if self.inference == "laplace":
+            lml = Laplace.log_marginal_likelihood(
+                self.kernel, self.mean, params, X, y, sn2, self.likelihood)
+        else:
+            lml = ExactInference.log_marginal_likelihood(
+                self.kernel, self.mean, params, X, y, sn2)
         logp = 0.0
         for hp in self.hyperparameters:
             if hp.prior is not None:
@@ -174,6 +209,15 @@ class GaussianProcess:
     def _refresh_state(self):
         params = self._params()
         sn2 = float(np.squeeze(self.noise_variance.value)) ** 2
+        if self.inference == "laplace":
+            # mode finding runs once per fit, eagerly (x64 when enabled);
+            # predictions stay fully traced/jittable via the stored state
+            f_hat, g, sW, L, _ = Laplace.mode_state(
+                self.kernel, self.mean, params, jnp.asarray(self.X_train),
+                jnp.asarray(self.y_train), sn2, self.likelihood)
+            self._state = ("laplace", np.asarray(g), np.asarray(sW),
+                           np.asarray(L))
+            return
         # evaluate the gram with the accelerator (cheap, well-conditioned) but
         # FACTORIZE on the host in float64: with small noise the system is
         # condition ~1/(sn2+jitter) and f32 (worse: TPU bf16) factorizations
@@ -273,11 +317,24 @@ class GaussianProcess:
         predict, gp.py:699-718)."""
         if self._state is None:
             self._refresh_state()
-        L, alpha = self._state
         params = self._params()
         X = jnp.asarray(self.X_train)
         sn2 = float(np.squeeze(self.noise_variance.value)) ** 2
         kernel, mean = self.kernel, self.mean
+        if isinstance(self._state[0], str) and self._state[0] == "laplace":
+            _, g, sW, L = self._state
+
+            def fn(x_star):
+                x_star = jnp.atleast_1d(x_star)
+                mu, var = Laplace.predict(
+                    kernel, mean, params, X, jnp.asarray(g), jnp.asarray(sW),
+                    jnp.asarray(L), x_star)
+                if include_noise and self.likelihood.uses_noise:
+                    var = var + sn2
+                return mu, var
+
+            return fn
+        L, alpha = self._state
 
         def fn(x_star):
             x_star = jnp.atleast_1d(x_star)
@@ -298,6 +355,19 @@ class GaussianProcess:
             Xq = Xq.T
         mu, var = jax.vmap(fn)(jnp.asarray(Xq))
         return np.asarray(mu), np.asarray(var)
+
+    def predict_proba(self, X_query):
+        """p(y = +1 | x) for logistic-likelihood classification GPs, via the
+        probit approximation to the logistic predictive integral:
+        pi* ~= sigma(mu / sqrt(1 + pi sigma_f^2 / 8))."""
+        if self.likelihood.name != "logistic":
+            raise RuntimeError(
+                "predict_proba requires the logistic likelihood (this GP "
+                f"uses {self.likelihood.name!r})")
+        mu, var = self.predict(X_query)
+        from scipy.special import expit
+
+        return expit(mu / np.sqrt(1.0 + np.pi * var / 8.0))
 
     def predict_quantiles(self, X_query, quantiles=(0.025, 0.975)):
         from scipy.stats import norm
@@ -370,6 +440,9 @@ class GPArray:
             raise RuntimeError("assign every GPArray slot before fitting")
         if any(gp.X_train is None for gp in gps):
             raise RuntimeError("call set_training_data on every GP first")
+        if any(gp.inference != "exact" for gp in gps):
+            raise ValueError("fit_model_batched supports exact inference "
+                             "only; use fit_model() per GP for Laplace")
         gp0 = gps[0]
         packs = [gp._pack() for gp in gps]
         w0s, specs0, bounds0 = packs[0]

@@ -69,18 +69,144 @@ class ExactInference(Inference):
         return mu, var
 
 
+class Laplace(Inference):
+    """Laplace approximation for non-Gaussian likelihoods (GPML algorithms
+    3.1/3.2). The reference DECLARES this inference but leaves it a stub
+    (reference: hilo_mpc/modules/machine_learning/gp/inference.py:224-230);
+    here it is implemented as pure JAX: the posterior mode is found by a
+    fixed-trip Newton iteration in the numerically stable
+    ``B = I + W^{1/2} K W^{1/2}`` parameterization, everything jits, and the
+    log marginal likelihood is differentiable THROUGH the mode finding, so
+    hyperparameter fitting uses the same L-BFGS/Adam paths as exact
+    inference. Works with any likelihood exposing ``log_pdf(f, y, sn2)``
+    (ml/gp/likelihood.py); for the Gaussian likelihood the posterior is
+    exactly Gaussian, Newton converges in one step, and results coincide
+    with exact inference (pinned by tests/test_gp_laplace.py).
+    """
+
+    #: curvature floor for non-log-concave likelihoods (Student's t): W_ii
+    #: below this is clipped so B stays positive definite
+    W_FLOOR = 1e-8
+    NEWTON_ITERS = 25
+
+    @staticmethod
+    def _gram(kernel, params, X, dtype_hint=None):
+        with jax.default_matmul_precision("highest"):
+            K = kernel.gram(params, X)
+        jitter = 1e-6 if K.dtype == jnp.float32 else 1e-10
+        n = X.shape[0]
+        return K + jitter * jnp.mean(jnp.diagonal(K)) * jnp.eye(n, dtype=K.dtype)
+
+    @staticmethod
+    def mode_state(kernel, mean, params, X, y, sn2, likelihood,
+                   iters: int = None):
+        """Find the posterior mode f_hat (GPML alg. 3.1) and return
+        ``(f_hat, g, sW, L, lml)`` where g = grad log p(y|f_hat), sW = W^{1/2}
+        at the mode, L = chol(I + sW K sW), lml the Laplace log marginal
+        likelihood. All traceable; fixed iteration count (Newton converges
+        quadratically — 25 trips is far past convergence for log-concave
+        likelihoods at f64)."""
+        iters = Laplace.NEWTON_ITERS if iters is None else iters
+        n = X.shape[0]
+        K = Laplace._gram(kernel, params, X)
+        m = jax.vmap(lambda a: mean.eval(params, a))(X)
+        y = jnp.asarray(y, K.dtype)
+
+        lp_sum = lambda f: jnp.sum(likelihood.log_pdf(f, y, sn2))
+        grad_lp = jax.grad(lp_sum)
+
+        def curvature(f):
+            # W = -d^2/df^2 log p(y|f), elementwise (diagonal)
+            d2 = jax.grad(lambda ff: jnp.sum(grad_lp(ff)))(f)
+            W = -d2
+            return jnp.maximum(W, Laplace.W_FLOOR)
+
+        eye = jnp.eye(n, dtype=K.dtype)
+        # objective of the mode search: psi(f) = log p(y|f) - 0.5 (f-m)' K^-1 (f-m);
+        # with a = K^-1 (f-m) carried alongside f the quadratic term is a
+        # cheap dot product and candidates along the Newton direction are
+        # linear interpolations (no extra gram products)
+        alphas = 0.5 ** jnp.arange(8, dtype=K.dtype)
+
+        def newton(carry, _):
+            f, a = carry
+            W = curvature(f)
+            sW = jnp.sqrt(W)
+            B = eye + sW[:, None] * K * sW[None, :]
+            with jax.default_matmul_precision("highest"):
+                L = jnp.linalg.cholesky(B)
+                b = W * (f - m) + grad_lp(f)
+                t = jax.scipy.linalg.cho_solve((L, True), sW * (K @ b))
+                a_full = b - sW * t
+                f_full = K @ a_full + m
+
+            # backtracking line search on psi: plain Newton oscillates for
+            # non-log-concave likelihoods (Student's t); log-concave cases
+            # accept alpha=1 and this reduces to the pure Newton step
+            def psi(al):
+                a_c = (1.0 - al) * a + al * a_full
+                f_c = (1.0 - al) * f + al * f_full
+                v = lp_sum(f_c) - 0.5 * jnp.dot(a_c, f_c - m)
+                return jnp.where(jnp.isfinite(v), v, -jnp.inf)
+
+            vals = jax.vmap(psi)(alphas)
+            best = jnp.argmax(vals)
+            al = alphas[best]
+            f_new = (1.0 - al) * f + al * f_full
+            a_new = (1.0 - al) * a + al * a_full
+            # NaN guard: a failed factorization keeps the previous iterate
+            ok = jnp.all(jnp.isfinite(f_new)) & (vals[best] > -jnp.inf)
+            return (jnp.where(ok, f_new, f), jnp.where(ok, a_new, a)), None
+
+        (f_hat, _), _ = jax.lax.scan(newton, (m, jnp.zeros(n, K.dtype)), None,
+                                     length=iters)
+
+        W = curvature(f_hat)
+        sW = jnp.sqrt(W)
+        B = eye + sW[:, None] * K * sW[None, :]
+        with jax.default_matmul_precision("highest"):
+            L = jnp.linalg.cholesky(B)
+            g = grad_lp(f_hat)
+            # a = K^{-1}(f_hat - m) without forming K^{-1}: at the mode
+            # a = g (stationarity), but use the stabilized recomputation so
+            # the lml stays exact for finite iteration counts
+            b = W * (f_hat - m) + g
+            t = jax.scipy.linalg.cho_solve((L, True), sW * (K @ b))
+            a = b - sW * t
+        lml = (-0.5 * jnp.dot(a, f_hat - m) + jnp.sum(
+            likelihood.log_pdf(f_hat, y, sn2))
+            - jnp.sum(jnp.log(jnp.diagonal(L))))
+        return f_hat, g, sW, L, lml
+
+    @staticmethod
+    def log_marginal_likelihood(kernel, mean, params, X, y, sn2, likelihood):
+        return Laplace.mode_state(kernel, mean, params, X, y, sn2,
+                                  likelihood)[4]
+
+    @staticmethod
+    def predict(kernel, mean, params, X, g, sW, L, x_star):
+        """Latent posterior (mu, var) at a single query point (GPML alg. 3.2)."""
+        with jax.default_matmul_precision("highest"):
+            k_star = jax.vmap(lambda a: kernel.eval(params, a, x_star))(X)
+            mu = mean.eval(params, x_star) + jnp.dot(k_star, g)
+            v = jax.scipy.linalg.solve_triangular(L, sW * k_star, lower=True)
+            k_ss = kernel.eval(params, x_star, x_star)
+            var = k_ss - jnp.dot(v, v)
+        eps = 1e-6 if var.dtype == jnp.float32 else 1e-12
+        return mu, jnp.maximum(var, eps * k_ss)
+
+
 def _unsupported(name):
     class _Stub(Inference):
         def __init__(self, *a, **kw):
             raise NotImplementedError(
                 f"{name} inference is not implemented (the reference declares the "
-                f"same stub, gp/inference.py:44-257); use exact inference")
+                f"same stub, gp/inference.py:44-257); use exact or laplace")
 
     _Stub.__name__ = name
     return _Stub
 
 
-Laplace = _unsupported("Laplace")
 ExpectationPropagation = _unsupported("ExpectationPropagation")
 VariationalBayes = _unsupported("VariationalBayes")
 KullbackLeibler = _unsupported("KullbackLeibler")

@@ -431,20 +431,29 @@ class TestGPAdamFit:
 
 
 class TestGPFactoryContracts:
-    """Constructor string contracts mirrored from the reference
-    (tests/test_GPs.py:68-194): declared-but-unimplemented names raise
-    NotImplementedError, unknown names raise ValueError."""
+    """Constructor string contracts (reference: tests/test_GPs.py:68-194):
+    unknown names raise ValueError; still-unimplemented names raise
+    NotImplementedError. Logistic / Student's-t likelihoods and Laplace
+    inference are now IMPLEMENTED (beyond the reference's stubs —
+    tests/test_gp_laplace.py), so they construct fine with
+    inference='laplace' and combining them with exact inference is a
+    configuration error."""
 
-    @pytest.mark.parametrize("lik", ["Logistic", "Laplacian", "Students t"])
-    def test_declared_likelihoods_raise_not_implemented(self, lik):
+    def test_laplacian_likelihood_raises_not_implemented(self):
         with pytest.raises(NotImplementedError):
+            GP(["x"], ["z"], likelihood="Laplacian")
+
+    @pytest.mark.parametrize("lik", ["Logistic", "Students t"])
+    def test_non_gaussian_likelihood_requires_laplace(self, lik):
+        with pytest.raises(ValueError, match="exact inference requires"):
             GP(["x"], ["z"], likelihood=lik)
+        GP(["x"], ["z"], likelihood=lik, inference="laplace")  # constructs
 
     def test_unknown_likelihood_raises_value_error(self):
         with pytest.raises(ValueError, match="not recognized"):
             GP(["x"], ["z"], likelihood="Gumbel")
 
-    @pytest.mark.parametrize("inf", ["Laplace", "Expectation propagation",
+    @pytest.mark.parametrize("inf", ["Expectation propagation",
                                      "Variational Bayes", "Kullback Leibler"])
     def test_declared_inference_raise_not_implemented(self, inf):
         with pytest.raises(NotImplementedError):
