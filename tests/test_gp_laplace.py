@@ -165,6 +165,49 @@ class TestStudentsTRobustness:
             StudentsT(df=0.5)
 
 
+class TestSMPCIntegration:
+    def test_students_t_gp_drives_smpc(self):
+        """A Laplace/Student's-t GP exposes the same traceable
+        predict_fn surface as exact GPs, so it drops straight into the
+        SMPC covariance propagation (control/smpc.py) — trained here on
+        disturbance data CONTAMINATED with an outlier that would bend a
+        Gaussian-likelihood fit."""
+        import jax.numpy as jnp
+
+        from hilo_mpc_tpu import Model, SMPC
+
+        m = Model(name="lin")
+        m.set_dynamical_states(["x1", "x2"])
+        m.set_inputs("u")
+        m.set_dynamical_equations(
+            lambda x, u: jnp.array([x[1], -0.5 * x[0] - 0.4 * x[1] + u[0]]))
+
+        rng = np.random.default_rng(0)
+        X = np.linspace(-1.5, 1.5, 25)[:, None]
+        y = 0.05 * np.sin(2 * X[:, 0]) + 0.02 * rng.standard_normal(25)
+        y[7] += 1.5                          # gross sensor glitch
+        gp = GP(["x1"], ["d"], noise_variance=0.05,
+                likelihood="Students t", inference="laplace")
+        gp.set_training_data(X, y)
+        gp.setup()
+        # the robust fit keeps the disturbance estimate near the clean curve
+        mu_glitch, _ = gp.predict(X[7:8])
+        assert abs(float(mu_glitch[0]) - 0.05 * np.sin(2 * X[7, 0])) < 0.1
+
+        smpc = SMPC(m, gps={"x2": gp}, dt=0.1)
+        smpc.horizon = 10
+        smpc.quad_stage_cost.add_states(names=["x1", "x2"], weights=[5.0, 1.0])
+        smpc.quad_stage_cost.add_inputs(weights=0.1)
+        smpc.set_box_constraints(u_lb=-3.0, u_ub=3.0)
+        smpc.set_initial_covariance(np.zeros((2, 2)))
+        smpc.setup(options={"dt": 0.1})
+        smpc.optimize([1.0, 0.0])
+        assert smpc.stats["converged"]
+        pred = smpc.return_prediction()["x"]
+        P22 = pred[:, 2 + 3]
+        assert P22[-1] > P22[1] >= 0.0       # variance accumulates
+
+
 class TestTraceability:
     def test_predict_fn_jits_and_vmaps(self):
         import jax
