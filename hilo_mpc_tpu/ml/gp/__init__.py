@@ -1,6 +1,6 @@
 from .gp import GaussianProcess, GPArray
-from .inference import ExactInference, Laplace
-from .likelihood import Gaussian, Likelihood, Logistic, StudentsT
+from .inference import ExactInference, ExpectationPropagation, Laplace
+from .likelihood import (Gaussian, Likelihood, Logistic, Probit, StudentsT)
 from .kernels import (ConstantKernel, DotProductKernel, ExponentialKernel,
                       GammaExponentialKernel, Kernel, LinearKernel, Matern32Kernel,
                       Matern52Kernel, MaternKernel, NeuralNetworkKernel,

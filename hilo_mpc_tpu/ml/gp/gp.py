@@ -18,9 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..hyperparameters import Hyperparameter
-from .inference import ExactInference, Laplace
+from .inference import ExactInference, ExpectationPropagation, Laplace
 from .kernels import Kernel, SquaredExponentialKernel
-from .likelihood import Gaussian, Likelihood, Logistic, StudentsT
+from .likelihood import Gaussian, Likelihood, Logistic, Probit, StudentsT
 from .means import Mean, ZeroMean
 
 
@@ -44,19 +44,20 @@ class GaussianProcess:
             length_scales=np.ones(len(self.features)))
         self.mean = mean if mean is not None else ZeroMean()
         # exact inference for the Gaussian likelihood; the Laplace
-        # approximation (ml/gp/inference.py) for logistic classification and
-        # Student's-t robust regression — both surfaces the reference only
-        # declares (gp/inference.py:224-230, gp/likelihood.py:78-102).
+        # approximation for logistic/probit classification and Student's-t
+        # robust regression; expectation propagation for probit
+        # classification — all surfaces the reference only declares
+        # (gp/inference.py:224-257, gp/likelihood.py:78-102).
         # Still-unimplemented names raise NotImplementedError, unknown names
         # ValueError — the reference factories' contract.
         inf_key = inference.lower().replace(" ", "_").replace("-", "_")
-        if inf_key in ("expectation_propagation", "ep", "variational_bayes",
-                       "vb", "kullback_leibler", "kl"):
+        if inf_key in ("variational_bayes", "vb", "kullback_leibler", "kl"):
             raise NotImplementedError(
                 f"inference {inference!r} is declared but not implemented "
-                f"(the reference declares the same stubs); use 'exact' or "
-                f"'laplace'")
-        if inf_key not in ("exact", "exactinference", "laplace"):
+                f"(the reference declares the same stubs); use 'exact', "
+                f"'laplace', or 'ep'")
+        if inf_key not in ("exact", "exactinference", "laplace",
+                           "expectation_propagation", "ep"):
             raise ValueError(f"Inference {inference!r} not recognized")
         if isinstance(likelihood, Likelihood):
             self.likelihood = likelihood
@@ -67,6 +68,8 @@ class GaussianProcess:
                 self.likelihood = Gaussian()
             elif lik_key == "logistic":
                 self.likelihood = Logistic()
+            elif lik_key == "probit":
+                self.likelihood = Probit()
             elif lik_key in ("students_t", "studentst", "student_t"):
                 self.likelihood = StudentsT()
             elif lik_key == "laplacian":
@@ -74,12 +77,23 @@ class GaussianProcess:
                 Laplacian()  # raises NotImplementedError with the reason
             else:
                 raise ValueError(f"Likelihood {likelihood!r} not recognized")
-        if inf_key != "laplace" and self.likelihood.name != "gaussian":
-            raise ValueError(
-                f"exact inference requires the Gaussian likelihood (the "
-                f"reference enforces the same, gp/inference.py:194); use "
-                f"inference='laplace' for {self.likelihood.name!r}")
-        self.inference = "laplace" if inf_key == "laplace" else "exact"
+        if inf_key in ("expectation_propagation", "ep"):
+            if self.likelihood.name != "probit":
+                raise ValueError(
+                    "expectation propagation requires the probit likelihood "
+                    "(its moment integrals are closed-form only there, GPML "
+                    f"section 3.6); got {self.likelihood.name!r} — use "
+                    "inference='laplace' instead")
+            self.inference = "ep"
+        elif inf_key == "laplace":
+            self.inference = "laplace"
+        else:
+            if self.likelihood.name != "gaussian":
+                raise ValueError(
+                    f"exact inference requires the Gaussian likelihood (the "
+                    f"reference enforces the same, gp/inference.py:194); use "
+                    f"inference='laplace' for {self.likelihood.name!r}")
+            self.inference = "exact"
         self.noise_variance = Hyperparameter("GP.noise_variance",
                                              value=noise_variance, positive=True)
         if not self.likelihood.uses_noise:
@@ -114,15 +128,15 @@ class GaussianProcess:
         y = y.ravel()
         if y.size != X.shape[0]:
             raise ValueError(f"{X.shape[0]} samples but {y.size} labels")
-        if self.likelihood.name == "logistic":
+        if self.likelihood.name in ("logistic", "probit"):
             # classification labels: accept {0, 1} or {-1, +1}, store {-1, +1}
             vals = set(np.unique(y).tolist())
             if vals <= {0.0, 1.0}:
                 y = 2.0 * y - 1.0
             elif not vals <= {-1.0, 1.0}:
                 raise ValueError(
-                    f"logistic likelihood needs binary labels in {{0,1}} or "
-                    f"{{-1,+1}}, got values {sorted(vals)[:5]}")
+                    f"{self.likelihood.name} likelihood needs binary labels "
+                    f"in {{0,1}} or {{-1,+1}}, got values {sorted(vals)[:5]}")
         self.X_train, self.y_train = X, y
         self._state = None
         return self
@@ -185,6 +199,9 @@ class GaussianProcess:
         if self.inference == "laplace":
             lml = Laplace.log_marginal_likelihood(
                 self.kernel, self.mean, params, X, y, sn2, self.likelihood)
+        elif self.inference == "ep":
+            lml = ExpectationPropagation.log_marginal_likelihood(
+                self.kernel, self.mean, params, X, y)
         else:
             lml = ExactInference.log_marginal_likelihood(
                 self.kernel, self.mean, params, X, y, sn2)
@@ -216,6 +233,13 @@ class GaussianProcess:
                 self.kernel, self.mean, params, jnp.asarray(self.X_train),
                 jnp.asarray(self.y_train), sn2, self.likelihood)
             self._state = ("laplace", np.asarray(g), np.asarray(sW),
+                           np.asarray(L))
+            return
+        if self.inference == "ep":
+            w, stt, L, _ = ExpectationPropagation.site_state(
+                self.kernel, self.mean, params, jnp.asarray(self.X_train),
+                jnp.asarray(self.y_train))
+            self._state = ("ep", np.asarray(w), np.asarray(stt),
                            np.asarray(L))
             return
         # evaluate the gram with the accelerator (cheap, well-conditioned) but
@@ -334,6 +358,16 @@ class GaussianProcess:
                 return mu, var
 
             return fn
+        if isinstance(self._state[0], str) and self._state[0] == "ep":
+            _, w, stt, L = self._state
+
+            def fn(x_star):
+                x_star = jnp.atleast_1d(x_star)
+                return ExpectationPropagation.predict(
+                    kernel, mean, params, X, jnp.asarray(w), jnp.asarray(stt),
+                    jnp.asarray(L), x_star)
+
+            return fn
         L, alpha = self._state
 
         def fn(x_star):
@@ -357,14 +391,19 @@ class GaussianProcess:
         return np.asarray(mu), np.asarray(var)
 
     def predict_proba(self, X_query):
-        """p(y = +1 | x) for logistic-likelihood classification GPs, via the
-        probit approximation to the logistic predictive integral:
+        """p(y = +1 | x) for classification GPs. Probit likelihood: the
+        predictive integral is EXACT, pi* = Phi(mu / sqrt(1 + sigma_f^2))
+        (GPML eq. 3.80). Logistic likelihood: the probit approximation
         pi* ~= sigma(mu / sqrt(1 + pi sigma_f^2 / 8))."""
-        if self.likelihood.name != "logistic":
+        if self.likelihood.name not in ("logistic", "probit"):
             raise RuntimeError(
-                "predict_proba requires the logistic likelihood (this GP "
-                f"uses {self.likelihood.name!r})")
+                "predict_proba requires a classification likelihood "
+                f"(logistic or probit; this GP uses {self.likelihood.name!r})")
         mu, var = self.predict(X_query)
+        if self.likelihood.name == "probit":
+            from scipy.stats import norm
+
+            return norm.cdf(mu / np.sqrt(1.0 + var))
         from scipy.special import expit
 
         return expit(mu / np.sqrt(1.0 + np.pi * var / 8.0))

@@ -62,6 +62,20 @@ class Logistic(Likelihood):
         return jax.nn.log_sigmoid(y * f)
 
 
+class Probit(Likelihood):
+    """Probit (cumulative-Gaussian) likelihood for binary classification,
+    p(y=+1|f) = Phi(f) with labels y in {-1, +1}. log-concave (works under
+    Laplace too), and the one likelihood whose Expectation-Propagation
+    moment integrals are closed-form (GPML section 3.6) — the EP inference
+    (ml/gp/inference.py) requires it. No noise parameter."""
+
+    name = "probit"
+    uses_noise = False
+
+    def log_pdf(self, f, y, sn2):
+        return jax.scipy.stats.norm.logcdf(y * f)
+
+
 class StudentsT(Likelihood):
     """Student's-t observation noise for outlier-robust regression:
     p(y|f) = t_nu((y - f)/sigma)/sigma with scale sigma = sqrt(sn2) and

@@ -453,11 +453,18 @@ class TestGPFactoryContracts:
         with pytest.raises(ValueError, match="not recognized"):
             GP(["x"], ["z"], likelihood="Gumbel")
 
-    @pytest.mark.parametrize("inf", ["Expectation propagation",
-                                     "Variational Bayes", "Kullback Leibler"])
+    @pytest.mark.parametrize("inf", ["Variational Bayes", "Kullback Leibler"])
     def test_declared_inference_raise_not_implemented(self, inf):
         with pytest.raises(NotImplementedError):
             GP(["x"], ["z"], inference=inf)
+
+    def test_ep_requires_probit(self):
+        with pytest.raises(ValueError, match="probit"):
+            GP(["x"], ["z"], inference="ep")          # gaussian default
+        with pytest.raises(ValueError, match="probit"):
+            GP(["x"], ["z"], inference="Expectation propagation",
+               likelihood="logistic")
+        GP(["x"], ["z"], inference="ep", likelihood="probit")  # constructs
 
     def test_unknown_inference_raises_value_error(self):
         with pytest.raises(ValueError, match="not recognized"):
